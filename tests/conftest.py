@@ -1,0 +1,18 @@
+"""Test harness config: force an 8-device virtual CPU mesh before jax import.
+
+This is the "fake backend" the reference lacks (SURVEY.md §4): all sharding /
+multi-chip tests run against 8 virtual CPU devices so CI needs no TPU.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+jax.config.update("jax_enable_x64", False)
