@@ -1,0 +1,189 @@
+"""JAX Llama decoder (L1), written TPU-first — not a port of HF.
+
+Capability parity with the reference's forked model
+(/root/reference/sampling/models/modeling_llama.py):
+  * standard causal incremental decode over a KV cache,
+  * an *arbitrary tree-attention mask* over the newly-fed token block
+    (reference ``extra_attention_mask``, modeling_llama.py:635,684-689),
+  * explicit position ids (tree nodes at equal depth share a position).
+
+Design:
+  * Pure function of a param pytree; per-layer weights are stacked on a
+    leading ``L`` axis and the decoder body is one ``lax.scan`` — compile
+    time is O(1) in depth and XLA fuses each layer into a few MXU ops.
+  * The KV cache is the static-shape buffer from ``cache.kvcache``;
+    attention always spans ``[0, S_max)`` with validity derived from the
+    ``length`` pointer, so every decode step has identical shapes.
+  * Weights live in bf16 (configurable), matmuls accumulate in fp32
+    (``preferred_element_type``), softmax/RMSNorm run in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cache.kvcache import KVCache, write_layer
+from ..core.config import LlamaConfig
+
+_MASK_VALUE = -1e30
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_tables(positions: jax.Array, head_dim: int, theta: float):
+    """cos/sin tables for given positions. positions: [B, S] -> [B, S, D]."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [B,S,D/2]
+    angles = jnp.concatenate([angles, angles], axis=-1)  # HF half-duplicated layout
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, S, H, D]; cos/sin: [B, S, D] (HF rotate_half convention)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[:, :, None, :].astype(jnp.float32)
+    s = sin[:, :, None, :].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    return (xf * c + rotated.astype(jnp.float32) * s).astype(x.dtype)
+
+
+def attention_mask(
+    length: jax.Array,
+    s_new: int,
+    s_max: int,
+    tree_mask: Optional[jax.Array],
+    batch: int,
+) -> jax.Array:
+    """Boolean visibility [B, S_new, S_max].
+
+    Prefix positions (< length) are fully visible (matches the reference's
+    full-visibility-on-prefix tree semantics, utils.py:143-144); the new
+    block is causal unless ``tree_mask`` [B, S_new, S_new] overrides it;
+    positions >= length + S_new are dead.
+    """
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (s_new, s_max), 1)
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (s_new, s_max), 0)
+    prefix_vis = kv_pos < length
+    in_block = (kv_pos >= length) & (kv_pos < length + s_new)
+    if tree_mask is None:
+        block_vis = in_block & ((kv_pos - length) <= q_idx)
+        return jnp.broadcast_to((prefix_vis | block_vis)[None], (batch, s_new, s_max))
+    # scatter the [B, S_new, S_new] tree mask onto the kv axis at offset `length`
+    pad = jnp.zeros((batch, s_new, s_max), bool)
+    tree_full = jax.lax.dynamic_update_slice(
+        pad, tree_mask.astype(bool), (jnp.int32(0), jnp.int32(0), jnp.asarray(length, jnp.int32))
+    )
+    return prefix_vis[None] | (in_block[None] & tree_full)
+
+
+def forward(
+    params: dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,
+    cache: KVCache,
+    positions: Optional[jax.Array] = None,
+    tree_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Run the decoder over ``tokens`` [B, S] given ``cache``.
+
+    Writes the S new positions' k/v at ``cache.length`` and returns
+    (logits [B, S, V] float32, cache with length += S).
+    """
+    b, s = tokens.shape
+    s_max = cache.max_len
+    dtype = cfg.jnp_dtype
+
+    if positions is None:
+        positions = cache.length + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    mask = attention_mask(cache.length, s, s_max, tree_mask, b)
+    # kv validity also applies per-position beyond the block (dead slots)
+    bias = jnp.where(mask, 0.0, _MASK_VALUE).astype(jnp.float32)[:, None]  # [B,1,S,S_max]
+
+    h = jnp.take(params["embed"], tokens, axis=0).astype(dtype)
+    n_rep = cfg.num_heads // cfg.num_kv_heads
+    scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
+
+    def layer_fn(h, xs):
+        lp, k_cache_l, v_cache_l = xs
+        r = rms_norm(h, lp["ln_attn"], cfg.rms_norm_eps)
+        q = (r @ lp["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = (r @ lp["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = (r @ lp["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        k_cache_l, v_cache_l = write_layer(
+            k_cache_l, v_cache_l, cache.length,
+            k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        )
+        kk = jnp.repeat(k_cache_l, n_rep, axis=1)  # [B, Hq, S_max, D]
+        vv = jnp.repeat(v_cache_l, n_rep, axis=1)
+
+        qh = q.transpose(0, 2, 1, 3)  # [B, Hq, S, D]
+        scores = jnp.einsum("bhsd,bhtd->bhst", qh, kk, preferred_element_type=jnp.float32)
+        scores = scores * scale + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        ctx = jnp.einsum("bhst,bhtd->bhsd", probs, vv, preferred_element_type=jnp.float32)
+        ctx = ctx.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
+        h = h + ctx @ lp["wo"]
+
+        r = rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps)
+        gate = jax.nn.silu((r @ lp["w_gate"]).astype(jnp.float32)).astype(dtype)
+        up = r @ lp["w_up"]
+        h = h + (gate * up) @ lp["w_down"]
+        return h, (k_cache_l, v_cache_l)
+
+    h, (new_k, new_v) = jax.lax.scan(layer_fn, h, (params["layers"], cache.k, cache.v))
+
+    h = rms_norm(h, params["ln_final"], cfg.rms_norm_eps)
+    lm_head = params["embed"] if cfg.tie_embeddings else params["lm_head"]
+    logits = jnp.einsum("bsh,vh->bsv", h, lm_head, preferred_element_type=jnp.float32)
+
+    new_cache = KVCache(new_k, new_v, cache.length + s)
+    return logits, new_cache
+
+
+def init_params(cfg: LlamaConfig, key: jax.Array) -> dict:
+    """Random init (testing / benchmarks without checkpoints)."""
+    dt = cfg.jnp_dtype
+    keys = jax.random.split(key, 8)
+    h, i, v, l = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size, cfg.num_layers
+    kvh = cfg.num_kv_heads * cfg.head_dim
+    std = 0.02
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dt)
+
+    layers = {
+        "wq": rnd(keys[0], (l, h, h)),
+        "wk": rnd(keys[1], (l, h, kvh)),
+        "wv": rnd(keys[2], (l, h, kvh)),
+        "wo": rnd(keys[3], (l, h, h)),
+        "w_gate": rnd(keys[4], (l, h, i)),
+        "w_up": rnd(keys[5], (l, h, i)),
+        "w_down": rnd(keys[6], (l, i, h)),
+        "ln_attn": jnp.ones((l, h), dt),
+        "ln_mlp": jnp.ones((l, h), dt),
+    }
+    params = {
+        "embed": rnd(keys[7], (v, h)),
+        "layers": layers,
+        "ln_final": jnp.ones((h,), dt),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = rnd(jax.random.split(keys[7])[0], (v, h))
+    return params

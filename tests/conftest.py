@@ -16,3 +16,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_enable_x64", False)
+# CPU XLA's default matmul precision is bf16-like (~1e-3 error) which breaks
+# golden-logit parity tests; force full fp32 accumulation under test.
+jax.config.update("jax_default_matmul_precision", "highest")
