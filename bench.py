@@ -1,0 +1,81 @@
+"""Round benchmark: speculative vs autoregressive decoding on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "spec_decode_tokens_per_s", "value": N, "unit": "tok/s",
+   "vs_baseline": speedup_over_autoregressive, ...extras}
+
+Setup mirrors the reference's headline config shape (draft + big target,
+gamma=4, top_k=20, top_p=0.9, 128 new tokens — README.md:9 /
+evaluation.py:254-257) on synthetic weights: the target's layers beyond the
+draft depth are damped so the draft is a genuine approximation of the
+target (acceptance ~0.9, like a trained 68m/13B pair). No checkpoints are
+downloadable in this environment (zero egress), so weights are random but
+the compute/memory profile is real.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from llmspeculativesampling_tpu.core.config import LlamaConfig
+    from llmspeculativesampling_tpu.engine.autoregressive import autoregressive_generate
+    from llmspeculativesampling_tpu.engine.speculative import speculative_generate
+    from llmspeculativesampling_tpu.engine.types import ModelBundle
+    from llmspeculativesampling_tpu.models import llama
+
+    # ~1.1B-param-shaped target; draft = its first 2 layers (68m-ish cost)
+    cfg_t = LlamaConfig(
+        vocab_size=32000, hidden_size=2048, intermediate_size=8192,
+        num_layers=16, num_heads=16, num_kv_heads=16, max_position=2048,
+        dtype="bfloat16",
+    )
+    bt = ModelBundle("llama", cfg_t, llama.forward)
+    pt = llama.init_params(cfg_t, jax.random.key(1))
+    eps = 0.02  # damp layers >=2 so draft approximates target (acc ~0.9)
+    damp = jnp.concatenate([jnp.ones(2), jnp.full((cfg_t.num_layers - 2,), eps)]).astype(cfg_t.jnp_dtype)
+    pt["layers"]["wo"] = pt["layers"]["wo"] * damp[:, None, None]
+    pt["layers"]["w_down"] = pt["layers"]["w_down"] * damp[:, None, None]
+
+    cfg_d = LlamaConfig(**{**cfg_t.__dict__, "num_layers": 2})
+    bd = ModelBundle("llama", cfg_d, llama.forward)
+    pd = {
+        "embed": pt["embed"], "ln_final": pt["ln_final"], "lm_head": pt["lm_head"],
+        "layers": jax.tree.map(lambda x: x[:2], pt["layers"]),
+    }
+
+    prompt = list(np.random.default_rng(0).integers(100, 31000, 64))
+    gen_kw = dict(eos_token_id=2, temperature=1.0, top_k=20, top_p=0.9)
+
+    # warm up (compile), then timed runs
+    ar_best = 0.0
+    for k in (1, 2, 3):
+        _, dar = autoregressive_generate(bt, pt, prompt, 128, key=jax.random.key(k), details=True, **gen_kw)
+        if k > 1:
+            ar_best = max(ar_best, dar["tokens_per_s"])
+
+    sp_best, d_best = 0.0, None
+    for k in (1, 2, 3):
+        _, dsp = speculative_generate(bd, pd, bt, pt, prompt, 128, gamma=4, key=jax.random.key(k), details=True, **gen_kw)
+        if k > 1 and dsp["tokens_per_s"] > sp_best:
+            sp_best, d_best = dsp["tokens_per_s"], dsp
+
+    print(json.dumps({
+        "metric": "spec_decode_tokens_per_s",
+        "value": round(sp_best, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(sp_best / ar_best, 3),
+        "ar_tokens_per_s": round(ar_best, 2),
+        "acc_rate": round(d_best["acc_rate"], 4),
+        "mean_acc_len": round(float(np.mean(d_best["acc_len"])), 3),
+        "gamma": 4,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

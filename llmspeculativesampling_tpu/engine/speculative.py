@@ -1,0 +1,304 @@
+"""Speculative sampling core (L3) — the Google-style algorithm, TPU-first.
+
+Capability parity: reference ``speculative_sampling``
+(/root/reference/sampling/speculative_sampling.py:1877-2076): draft gamma
+tokens with the small model, verify with ONE target forward, per-token
+accept test r <= p/q, residual resample ``max_fn(p-q)`` on reject, bonus
+target sample on all-accept, EOS truncation, and a ``details`` dict.
+
+TPU re-design (SURVEY.md §7.3):
+  * The reference runs a host Python loop with per-token ``.item()`` syncs
+    and tensor-slicing rollbacks. Here the draft loop (``lax.scan``), the
+    verify forward, and the vectorized accept/resample all live in one
+    jitted step, and the outer token loop is a ``lax.while_loop`` — the
+    whole generation is a single XLA program with zero host round-trips.
+  * "Rollback" never moves data: each step re-derives both caches' valid
+    lengths from ``cur_len`` (draft: cur_len-2, target: cur_len-1) and
+    re-writes at most the last two positions idempotently (k/v of a
+    position depend only on tokens at positions <= it, which are final).
+  * The number of accepted tokens is computed as a cumprod over the gamma
+    accept bits; control flow is ``where``-selects, never Python branches.
+
+Parity quirks kept: acc_rate = mean of min(1, p/q) over ALL drafted tokens
+(speculative_sampling.py:1966-1971); the loop may overshoot max_tokens by
+up to gamma (loop condition :1934 checks before a step adds up to gamma+1
+tokens); ``random_seed`` reproduces the reference's reseed-before-every-
+draw quirk (:1976-1978) by reusing one fixed uniform vector for accepts.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..cache.kvcache import KVCache, rollback
+from ..ops.sampling import SamplingConfig, max_fn, norm_logits, sample
+from .types import ModelBundle, first_eos_truncate, pad_prompt
+
+
+class SpecState(NamedTuple):
+    tokens: jax.Array  # [1, T_max]
+    cur_len: jax.Array  # int32
+    draft_cache: KVCache
+    target_cache: KVCache
+    key: jax.Array
+    done: jax.Array  # bool
+    accepted: jax.Array  # int32 total accepted draft tokens
+    resamples: jax.Array  # int32 reject-resample count
+    bonus: jax.Array  # int32 all-accept bonus-sample count
+    steps: jax.Array  # int32 = target_call_times = approx_call_times
+    acc_rate_sum: jax.Array  # f32 sum of min(1, p/q) over drafted tokens
+    acc_len_hist: jax.Array  # int32 [max_steps] accepted-per-step
+
+
+def draft_phase(bundle, params, scfg, gamma, tokens, cur_len, cache, key):
+    """gamma-token draft. Returns (tokens', cache', q_stack [g,V], drafts [g], key).
+
+    First forward re-processes positions cur_len-2, cur_len-1 (2 tokens) so
+    the cache "rollback" is just the length reset; remaining gamma-1 steps
+    are single-token forwards under ``lax.scan``.
+    """
+    cfg = bundle.cfg
+    cache = rollback(cache, cur_len - 2)
+    first_in = jax.lax.dynamic_slice(tokens, (0, cur_len - 2), (1, 2))
+    logits, cache = bundle.forward(params, cfg, first_in, cache)
+    q0 = norm_logits(logits[:, -1], scfg)  # [1, V]
+    key, k0 = jax.random.split(key)
+    x0 = sample(k0, q0)  # [1]
+    tokens = jax.lax.dynamic_update_slice(tokens, x0[:, None], (0, cur_len))
+
+    def body(carry, _):
+        cache, last_tok, key = carry
+        logits, cache = bundle.forward(params, cfg, last_tok[:, None], cache)
+        q = norm_logits(logits[:, 0], scfg)
+        key, ks = jax.random.split(key)
+        x = sample(ks, q)
+        return (cache, x, key), (q[0], x[0])
+
+    if gamma > 1:
+        (cache, _, key), (q_rest, x_rest) = jax.lax.scan(
+            body, (cache, x0, key), None, length=gamma - 1
+        )
+        q_stack = jnp.concatenate([q0, q_rest], axis=0)  # [gamma, V]
+        drafts = jnp.concatenate([x0, x_rest])  # [gamma]
+        tokens = jax.lax.dynamic_update_slice(tokens, x_rest[None, :], (0, cur_len + 1))
+    else:
+        q_stack, drafts = q0, x0
+    return tokens, cache, q_stack, drafts, key
+
+
+def verify_phase(bundle, params, scfg, gamma, tokens, cur_len, cache):
+    """One target forward over the gamma+1 tail tokens -> p_stack [g+1, V]."""
+    cfg = bundle.cfg
+    cache = rollback(cache, cur_len - 1)
+    vin = jax.lax.dynamic_slice(tokens, (0, cur_len - 1), (1, gamma + 1))
+    logits, cache = bundle.forward(params, cfg, vin, cache)
+    return norm_logits(logits[0], scfg), cache  # [gamma+1, V]
+
+
+def accept_phase(scfg, gamma, eos_token_id, tokens, cur_len, q_stack, drafts, p_stack, key, fixed_r=None):
+    """Vectorized accept/resample. Returns (tokens', new_len, t, n, acc_rate_step, key).
+
+    Reference math (speculative_sampling.py:1964-2023): accept draft i iff
+    r_i <= p_i(x_i)/q_i(x_i); on first reject at n, resample from
+    max_fn(p_n - q_n); on all-accept, bonus-sample from p_gamma.
+    """
+    idx = jnp.arange(gamma)
+    q_sel = q_stack[idx, drafts]  # [gamma]
+    p_sel = p_stack[:gamma][idx, drafts]
+    ratio = p_sel / q_sel
+    key, k_r, k_t = jax.random.split(key, 3)
+    r = fixed_r if fixed_r is not None else jax.random.uniform(k_r, (gamma,))
+    accept = r <= ratio
+    acc_prefix = jnp.cumprod(accept.astype(jnp.int32))
+    n = jnp.sum(acc_prefix)  # leading accepts, 0..gamma
+
+    # residual resample at position n (guarded gather; only used when n<gamma)
+    q_padded = jnp.concatenate([q_stack, jnp.zeros_like(q_stack[:1])], axis=0)
+    p_n = jnp.take(p_stack, n, axis=0)
+    q_n = jnp.take(q_padded, n, axis=0)
+    resid = max_fn(p_n - q_n)
+    t_resample = sample(k_t, resid[None])[0]
+    t_bonus = sample(k_t, p_stack[gamma][None])[0]
+    all_acc = n == gamma
+    t = jnp.where(all_acc, t_bonus, t_resample)
+
+    new_len = cur_len + n + 1
+    tokens = jax.lax.dynamic_update_slice(tokens, t[None, None], (0, new_len - 1))
+    acc_rate_step = jnp.sum(jnp.minimum(ratio, 1.0))
+    return tokens, new_len, t, n, all_acc, acc_rate_step, key
+
+
+def _spec_step(bundle_d, bundle_t, params_d, params_t, scfg, gamma, eos_token_id, state: SpecState, fixed_r):
+    tokens, cur_len = state.tokens, state.cur_len
+    tokens, draft_cache, q_stack, drafts, key = draft_phase(
+        bundle_d, params_d, scfg, gamma, tokens, cur_len, state.draft_cache, state.key
+    )
+    p_stack, target_cache = verify_phase(
+        bundle_t, params_t, scfg, gamma, tokens, cur_len, state.target_cache
+    )
+    tokens, new_len, t, n, all_acc, acc_rate_step, key = accept_phase(
+        scfg, gamma, eos_token_id, tokens, cur_len, q_stack, drafts, p_stack, key, fixed_r
+    )
+
+    # EOS among the newly committed tokens [cur_len, new_len)
+    pos = jnp.arange(tokens.shape[1])
+    new_mask = (pos >= cur_len) & (pos < new_len)
+    done = jnp.any(new_mask & (tokens[0] == eos_token_id))
+
+    acc_len_hist = jax.lax.dynamic_update_slice(state.acc_len_hist, n[None], (state.steps,))
+    return SpecState(
+        tokens=tokens,
+        cur_len=new_len,
+        draft_cache=draft_cache,
+        target_cache=target_cache,
+        key=key,
+        done=done,
+        accepted=state.accepted + n,
+        resamples=state.resamples + jnp.where(all_acc, 0, 1),
+        bonus=state.bonus + jnp.where(all_acc, 1, 0),
+        steps=state.steps + 1,
+        acc_rate_sum=state.acc_rate_sum + acc_rate_step,
+        acc_len_hist=acc_len_hist,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bundle_d", "bundle_t", "gamma", "max_new_tokens", "scfg", "eos_token_id", "max_total_len",
+    ),
+)
+def _spec_generate_device(
+    params_d,
+    params_t,
+    prompt_padded,
+    prompt_len,
+    key,
+    fixed_r,
+    *,
+    bundle_d: ModelBundle,
+    bundle_t: ModelBundle,
+    gamma: int,
+    max_new_tokens: int,
+    scfg: SamplingConfig,
+    eos_token_id: int,
+    max_total_len: int,
+):
+    draft_cache = bundle_d.make_cache(1, max_total_len)
+    target_cache = bundle_t.make_cache(1, max_total_len)
+
+    tokens = jnp.zeros((1, max_total_len), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt_padded, (0, 0))
+
+    _, draft_cache = bundle_d.forward(params_d, bundle_d.cfg, prompt_padded, draft_cache)
+    _, target_cache = bundle_t.forward(params_t, bundle_t.cfg, prompt_padded, target_cache)
+
+    total = prompt_len + max_new_tokens
+    state = SpecState(
+        tokens=tokens,
+        cur_len=prompt_len,
+        draft_cache=draft_cache,
+        target_cache=target_cache,
+        key=key,
+        done=jnp.asarray(False),
+        accepted=jnp.zeros((), jnp.int32),
+        resamples=jnp.zeros((), jnp.int32),
+        bonus=jnp.zeros((), jnp.int32),
+        steps=jnp.zeros((), jnp.int32),
+        acc_rate_sum=jnp.zeros((), jnp.float32),
+        acc_len_hist=jnp.zeros((max_new_tokens,), jnp.int32),
+    )
+
+    def cond(s: SpecState):
+        return jnp.logical_and(s.cur_len < total, jnp.logical_not(s.done))
+
+    def body(s: SpecState):
+        return _spec_step(bundle_d, bundle_t, params_d, params_t, scfg, gamma, eos_token_id, s, fixed_r)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state
+
+
+def speculative_generate(
+    bundle_d: ModelBundle,
+    params_d,
+    bundle_t: ModelBundle,
+    params_t,
+    prompt,
+    max_new_tokens: int,
+    *,
+    gamma: int = 4,
+    eos_token_id: int,
+    pad_token_id: Optional[int] = None,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    key: Optional[jax.Array] = None,
+    random_seed: Optional[int] = None,
+    details: bool = False,
+):
+    """Speculative sampling with KV rollback — reference
+    ``speculative_sampling`` equivalent. Returns numpy int32 [T] (prompt
+    included, truncated at first generated EOS); with ``details=True`` also
+    a dict with the reference's schema (SURVEY.md §2.1)."""
+    del pad_token_id
+    scfg = SamplingConfig(temperature, top_k, top_p)
+    key = key if key is not None else jax.random.key(0)
+    prompt_padded, p_len = pad_prompt(prompt)
+    if p_len < 2:
+        raise ValueError("prompt must have at least 2 tokens")
+    max_total = prompt_padded.shape[1] + max_new_tokens + gamma + 1
+
+    fixed_r = None
+    if random_seed is not None:
+        # reference reseeds before every accept draw (:1976-1978) => all r
+        # draws in a run are the same number; reproduce with one fixed vec.
+        fixed_r = jnp.broadcast_to(jax.random.uniform(jax.random.key(random_seed), ()), (gamma,))
+
+    t0 = time.perf_counter()
+    state = _spec_generate_device(
+        params_d,
+        params_t,
+        jnp.asarray(prompt_padded),
+        jnp.asarray(p_len, jnp.int32),
+        key,
+        fixed_r,
+        bundle_d=bundle_d,
+        bundle_t=bundle_t,
+        gamma=gamma,
+        max_new_tokens=max_new_tokens,
+        scfg=scfg,
+        eos_token_id=eos_token_id,
+        max_total_len=max_total,
+    )
+    tokens = jax.device_get(state.tokens)
+    cur_len = int(state.cur_len)
+    wall = time.perf_counter() - t0
+
+    out = first_eos_truncate(tokens, p_len, cur_len, eos_token_id)
+    if not details:
+        return out
+
+    steps = int(state.steps)
+    drafted = steps * gamma
+    d = {
+        "total_time": wall,
+        "approx_time": None,  # phase split needs stepwise mode
+        "target_time": None,
+        "other_time": None,
+        "acc_len": jax.device_get(state.acc_len_hist)[:steps].tolist(),
+        "acc_rate": float(state.acc_rate_sum) / max(drafted, 1),
+        "target_call_times": steps,
+        "approx_call_times": steps,
+        "accepted_count": int(state.accepted),
+        "resample_count": int(state.resamples),
+        "target_sample_count": int(state.bonus),
+        "tokens_generated": len(out) - p_len,
+        "tokens_per_s": (len(out) - p_len) / wall if wall > 0 else float("nan"),
+    }
+    return out, d

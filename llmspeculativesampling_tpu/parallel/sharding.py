@@ -1,0 +1,101 @@
+"""Mesh + sharding rules (the from-scratch distribution layer, SURVEY.md §2.6).
+
+The reference has NO real parallelism (batch=1, accelerate layer-offload
+only; dead ``dist.all_reduce``, kvcache_model.py:669-677). This module is
+the TPU-native build item: a 2D ``(dp, tp)`` device mesh, megatron-style
+tensor-parallel sharding of the decoder weights over ``tp`` (attention
+heads + MLP columns + vocab), batch over ``dp``, with XLA inserting the
+collectives (GSPMD) — psum on the row-parallel projections rides ICI.
+
+Usage: build a mesh, shard params once with ``shard_params``, and jit the
+engine step with these shardings; the KV cache shards its head axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import LlamaConfig, OPTConfig
+
+DP_AXIS = "dp"
+TP_AXIS = "tp"
+
+
+def make_mesh(dp: int = 1, tp: Optional[int] = None, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if tp is None:
+        tp = devices.size // dp
+    assert dp * tp == devices.size, f"dp*tp={dp*tp} != {devices.size} devices"
+    return Mesh(devices.reshape(dp, tp), (DP_AXIS, TP_AXIS))
+
+
+def llama_param_specs(cfg: LlamaConfig) -> dict:
+    """Megatron TP layout: column-parallel qkv/gate/up, row-parallel o/down,
+    vocab-parallel embedding + head. Leading axis of layer weights is the
+    scanned layer index (replicated)."""
+    col = P(None, None, TP_AXIS)  # [L, in, out] shard out
+    row = P(None, TP_AXIS, None)  # [L, in, out] shard in
+    return {
+        "embed": P(TP_AXIS, None),
+        "lm_head": P(TP_AXIS, None),
+        "ln_final": P(None),
+        "layers": {
+            "wq": col, "wk": col, "wv": col, "wo": row,
+            "w_gate": col, "w_up": col, "w_down": row,
+            "ln_attn": P(None, None), "ln_mlp": P(None, None),
+        },
+    }
+
+
+def opt_param_specs(cfg: OPTConfig) -> dict:
+    col = P(None, None, TP_AXIS)
+    row = P(None, TP_AXIS, None)
+    vec_col = P(None, TP_AXIS)
+    rep = P(None, None)
+    specs = {
+        "embed": P(TP_AXIS, None),
+        "embed_pos": P(None, None),
+        "layers": {
+            "wq": col, "bq": vec_col, "wk": col, "bk": vec_col,
+            "wv": col, "bv": vec_col, "wo": row, "bo": rep,
+            "ln_attn_w": rep, "ln_attn_b": rep,
+            "fc1_w": col, "fc1_b": vec_col, "fc2_w": row, "fc2_b": rep,
+            "ln_mlp_w": rep, "ln_mlp_b": rep,
+        },
+        "ln_final_w": P(None), "ln_final_b": P(None),
+    }
+    return specs
+
+
+def param_specs(family: str, cfg) -> dict:
+    return llama_param_specs(cfg) if family == "llama" else opt_param_specs(cfg)
+
+
+def cache_spec() -> P:
+    """KV cache [L, B, H_kv, S_max, D]: heads over tp, batch over dp."""
+    return P(None, DP_AXIS, TP_AXIS, None, None)
+
+
+def shard_params(params, specs, mesh: Mesh):
+    """Place a param pytree on the mesh with the given PartitionSpecs."""
+
+    def place(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    # specs may be a strict subtree (e.g. no lm_head when tied)
+    def walk(p, s):
+        if isinstance(p, dict):
+            return {k: walk(v, s[k]) if k in s else v for k, v in p.items()}
+        return place(p, s)
+
+    out = {}
+    for k, v in params.items():
+        if k in specs:
+            out[k] = walk(v, specs[k])
+        else:
+            out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+    return out

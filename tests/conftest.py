@@ -6,7 +6,9 @@ multi-chip tests run against 8 virtual CPU devices so CI needs no TPU.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set: the environment exports JAX_PLATFORMS=axon (the TPU tunnel) and
+# the plugin re-asserts it, so setdefault is not enough.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402  (import after env setup)
 
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, f"expected 8 virtual CPU devices, got {jax.devices()}"
 jax.config.update("jax_enable_x64", False)
 # CPU XLA's default matmul precision is bf16-like (~1e-3 error) which breaks
 # golden-logit parity tests; force full fp32 accumulation under test.
