@@ -1,0 +1,137 @@
+"""JAX OPT decoder (L1) — second model family (opt-125m ... opt-13b).
+
+Capability parity with the reference's forked model
+(/root/reference/sampling/models/modeling_opt.py):
+  * learned positional embeddings with the OPT +2 offset, taking *explicit*
+    position ids (the reference's patch at modeling_opt.py:109-124 — tree
+    nodes at the same depth must share a position),
+  * arbitrary tree-attention mask over the new-token block
+    (``extra_attention_mask`` injection, modeling_opt.py:572,660-665),
+  * pre-LayerNorm ReLU architecture, optional word-embed projections
+    (opt-350m), tied lm_head.
+
+Same TPU design as models/llama.py: stacked-layer ``lax.scan`` body,
+static-shape KV cache, fp32 softmax/LayerNorm.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cache.kvcache import KVCache, write_layer
+from ..core.config import OPTConfig
+from .llama import attention_mask
+
+_POS_OFFSET = 2  # OPT quirk: positional table rows 0/1 are reserved
+
+
+def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (out * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def forward(
+    params: dict,
+    cfg: OPTConfig,
+    tokens: jax.Array,
+    cache: KVCache,
+    positions: Optional[jax.Array] = None,
+    tree_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Decode ``tokens`` [B, S] -> (logits [B, S, V] fp32, cache+S)."""
+    b, s = tokens.shape
+    dtype = cfg.jnp_dtype
+    if positions is None:
+        positions = cache.length + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+
+    mask = attention_mask(cache.length, s, cache.max_len, tree_mask, b)
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)[:, None]
+
+    h = jnp.take(params["embed"], tokens, axis=0).astype(dtype)
+    if "project_in" in params:
+        h = h @ params["project_in"]
+    h = h + jnp.take(params["embed_pos"], positions + _POS_OFFSET, axis=0).astype(dtype)
+
+    n_heads, head_dim = cfg.num_heads, cfg.head_dim
+    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+
+    def layer_fn(h, xs):
+        lp, k_cache_l, v_cache_l = xs
+        residual = h
+        r = layer_norm(h, lp["ln_attn_w"], lp["ln_attn_b"], cfg.layer_norm_eps) \
+            if cfg.do_layer_norm_before else h
+        q = (r @ lp["wq"] + lp["bq"]).reshape(b, s, n_heads, head_dim)
+        k = (r @ lp["wk"] + lp["bk"]).reshape(b, s, n_heads, head_dim)
+        v = (r @ lp["wv"] + lp["bv"]).reshape(b, s, n_heads, head_dim)
+
+        k_cache_l, v_cache_l = write_layer(
+            k_cache_l, v_cache_l, cache.length,
+            k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        )
+        qh = q.transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhsd,bhtd->bhst", qh, k_cache_l, preferred_element_type=jnp.float32)
+        scores = scores * scale + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        ctx = jnp.einsum("bhst,bhtd->bhsd", probs, v_cache_l, preferred_element_type=jnp.float32)
+        ctx = ctx.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
+        h = residual + (ctx @ lp["wo"] + lp["bo"])
+        if not cfg.do_layer_norm_before:
+            h = layer_norm(h, lp["ln_attn_w"], lp["ln_attn_b"], cfg.layer_norm_eps)
+
+        residual = h
+        r = layer_norm(h, lp["ln_mlp_w"], lp["ln_mlp_b"], cfg.layer_norm_eps) \
+            if cfg.do_layer_norm_before else h
+        r = jax.nn.relu(r @ lp["fc1_w"] + lp["fc1_b"])
+        h = residual + (r @ lp["fc2_w"] + lp["fc2_b"])
+        if not cfg.do_layer_norm_before:
+            h = layer_norm(h, lp["ln_mlp_w"], lp["ln_mlp_b"], cfg.layer_norm_eps)
+        return h, (k_cache_l, v_cache_l)
+
+    h, (new_k, new_v) = jax.lax.scan(layer_fn, h, (params["layers"], cache.k, cache.v))
+
+    if "ln_final_w" in params and cfg.do_layer_norm_before:
+        h = layer_norm(h, params["ln_final_w"], params["ln_final_b"], cfg.layer_norm_eps)
+    if "project_out" in params:
+        h = h @ params["project_out"]
+    head = params.get("lm_head", params["embed"])
+    logits = jnp.einsum("bse,ve->bsv", h, head, preferred_element_type=jnp.float32)
+    return logits, KVCache(new_k, new_v, cache.length + s)
+
+
+def init_params(cfg: OPTConfig, key: jax.Array) -> dict:
+    dt = cfg.jnp_dtype
+    keys = jax.random.split(key, 8)
+    h, f, v, l, e = cfg.hidden_size, cfg.ffn_dim, cfg.vocab_size, cfg.num_layers, cfg.embed_dim
+    std = 0.02
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dt)
+
+    layers = {
+        "wq": rnd(keys[0], (l, h, h)), "bq": jnp.zeros((l, h), dt),
+        "wk": rnd(keys[1], (l, h, h)), "bk": jnp.zeros((l, h), dt),
+        "wv": rnd(keys[2], (l, h, h)), "bv": jnp.zeros((l, h), dt),
+        "wo": rnd(keys[3], (l, h, h)), "bo": jnp.zeros((l, h), dt),
+        "ln_attn_w": jnp.ones((l, h), dt), "ln_attn_b": jnp.zeros((l, h), dt),
+        "fc1_w": rnd(keys[4], (l, h, f)), "fc1_b": jnp.zeros((l, f), dt),
+        "fc2_w": rnd(keys[5], (l, f, h)), "fc2_b": jnp.zeros((l, h), dt),
+        "ln_mlp_w": jnp.ones((l, h), dt), "ln_mlp_b": jnp.zeros((l, h), dt),
+    }
+    params = {
+        "embed": rnd(keys[6], (v, e)),
+        "embed_pos": rnd(keys[7], (cfg.max_position + _POS_OFFSET, h)),
+        "layers": layers,
+        "ln_final_w": jnp.ones((h,), dt),
+        "ln_final_b": jnp.zeros((h,), dt),
+    }
+    if cfg.word_embed_proj_dim:
+        k1, k2 = jax.random.split(keys[6])
+        params["project_in"] = rnd(k1, (e, h))
+        params["project_out"] = rnd(k2, (h, e))
+    return params
