@@ -1,0 +1,213 @@
+"""Serving endpoint (L4) — reference ``serving.py`` equivalent, TPU-native.
+
+Parity surface (/root/reference/serving.py:15-61): a ``Server`` that loads
+a draft + target pair at startup, a ``POST /predict`` JSON route with a
+content-type check (:45-46), defaults num_tokens=40 top_k=10 top_p=0.9
+(:25-27), and speculative sampling under the hood (:33-37).
+
+TPU-native differences:
+  * stdlib ``ThreadingHTTPServer`` instead of Flask (not in the image);
+  * requests are serialized through a lock around the jitted engine call —
+    the decode step is one compiled program per (bucket, gamma) so repeat
+    requests hit the jit cache (first request pays compilation);
+  * ids-in/ids-out mode ({"prompt_ids": [...]}) works with no tokenizer,
+    keeping the engine/tokenizer split (SURVEY.md §7.3);
+  * /health and /stats endpoints for load balancers.
+
+The continuous-batching scheduler (multi-request batches over a static
+batch axis) is the planned M7 extension; this endpoint is its front door.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+import jax
+
+from ..engine import speculative_generate
+from ..engine.types import ModelBundle
+
+
+@dataclass
+class ServerConfig:
+    num_tokens: int = 40          # serving.py:25
+    top_k: int = 10               # serving.py:26
+    top_p: float = 0.9            # serving.py:27
+    temperature: float = 1.0
+    gamma: int = 4
+    eos_token_id: int = 2
+
+
+@dataclass
+class ServerStats:
+    requests: int = 0
+    tokens_generated: int = 0
+    total_time_s: float = 0.0
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def record(self, tokens: int, dt: float):
+        with self._lock:
+            self.requests += 1
+            self.tokens_generated += tokens
+            self.total_time_s += dt
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                "requests": self.requests,
+                "tokens_generated": self.tokens_generated,
+                "total_time_s": round(self.total_time_s, 3),
+                "tokens_per_s": round(
+                    self.tokens_generated / self.total_time_s, 2
+                ) if self.total_time_s else 0.0,
+            }
+
+
+class InferenceServer:
+    """Reference ``Server`` equivalent (serving.py:15-39)."""
+
+    def __init__(
+        self,
+        bundle_d: ModelBundle,
+        params_d,
+        bundle_t: ModelBundle,
+        params_t,
+        tokenizer=None,
+        config: Optional[ServerConfig] = None,
+        seed: int = 0,
+    ):
+        self.bundle_d, self.params_d = bundle_d, params_d
+        self.bundle_t, self.params_t = bundle_t, params_t
+        self.tokenizer = tokenizer
+        self.config = config or ServerConfig()
+        self.stats = ServerStats()
+        self._key = jax.random.key(seed)
+        self._lock = threading.Lock()
+
+    @classmethod
+    def from_pretrained(cls, approx_model_name: str, target_model_name: str,
+                        config: Optional[ServerConfig] = None):
+        """Load local checkpoint dirs (or 'synthetic') like serving.py:16-23."""
+        if "synthetic" in (approx_model_name, target_model_name):
+            from ..core.synthetic import synthetic_pair
+
+            bd, pd, bt, pt = synthetic_pair()
+            return cls(bd, pd, bt, pt, None, config)
+        from ..core.loader import load_pretrained
+        from ..models import llama as llama_mod
+        from ..models import opt as opt_mod
+
+        fwd = {"llama": llama_mod.forward, "opt": opt_mod.forward}
+        fam_d, cfg_d, pd = load_pretrained(approx_model_name)
+        fam_t, cfg_t, pt = load_pretrained(target_model_name)
+        tokenizer = None
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(approx_model_name)
+        except Exception:
+            pass
+        cfg = config or ServerConfig()
+        if tokenizer is not None and tokenizer.eos_token_id is not None:
+            cfg.eos_token_id = tokenizer.eos_token_id
+        return cls(ModelBundle(fam_d, cfg_d, fwd[fam_d]), pd,
+                   ModelBundle(fam_t, cfg_t, fwd[fam_t]), pt, tokenizer, cfg)
+
+    def process_request(self, request: dict):
+        """serving.py:29-38 equivalent; accepts 'prompt' (text, needs a
+        tokenizer) or 'prompt_ids' (raw ids). Returns (text|None, ids)."""
+        c = self.config
+        if "prompt_ids" in request:
+            ids = np.asarray(request["prompt_ids"], np.int32).reshape(-1)
+        else:
+            if self.tokenizer is None:
+                raise ValueError("text prompt requires a tokenizer; send prompt_ids")
+            ids = np.asarray(self.tokenizer.encode(request["prompt"]), np.int32)
+        num_tokens = int(request.get("max_tokens", c.num_tokens))
+        t0 = time.perf_counter()
+        with self._lock:
+            self._key, sub = jax.random.split(self._key)
+            out = speculative_generate(
+                self.bundle_d, self.params_d, self.bundle_t, self.params_t,
+                ids, num_tokens, gamma=c.gamma, eos_token_id=c.eos_token_id,
+                temperature=c.temperature, top_k=c.top_k, top_p=c.top_p, key=sub,
+            )
+        dt = time.perf_counter() - t0
+        out = np.asarray(out)
+        self.stats.record(len(out) - len(ids), dt)
+        text = None
+        if self.tokenizer is not None:
+            text = self.tokenizer.decode(out.tolist(), skip_special_tokens=True)
+        return text, out
+
+
+def make_http_server(server: InferenceServer, host: str = "0.0.0.0",
+                     port: int = 5000) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._send(200, server.stats.snapshot())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "not found"})
+                return
+            # content-type check: serving.py:45-46
+            if "application/json" not in self.headers.get("Content-Type", ""):
+                self._send(200, {"error": "Invalid content type"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                text, ids = server.process_request(req)
+                resp = {"output_ids": ids.tolist()}
+                if text is not None:
+                    resp["text"] = text
+                self._send(200, resp)
+            except Exception as e:  # noqa: BLE001 — surface as JSON like Flask
+                self._send(500, {"error": str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU speculative-decoding server")
+    p.add_argument("--approx_model_name", default="synthetic")
+    p.add_argument("--target_model_name", default="synthetic")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--num_tokens", type=int, default=40)
+    p.add_argument("--gamma", type=int, default=4)
+    args = p.parse_args(argv)
+    srv = InferenceServer.from_pretrained(
+        args.approx_model_name, args.target_model_name,
+        ServerConfig(num_tokens=args.num_tokens, gamma=args.gamma))
+    httpd = make_http_server(srv, args.host, args.port)
+    print(f"serving on {args.host}:{args.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
