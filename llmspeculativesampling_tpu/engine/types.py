@@ -8,7 +8,7 @@ from typing import Callable
 import numpy as np
 import jax.numpy as jnp
 
-from ..cache.kvcache import KVCache, init_cache
+from ..cache.kvcache import KVCache, init_cache, init_quant_cache
 
 
 @dataclasses.dataclass(frozen=True)
@@ -17,15 +17,18 @@ class ModelBundle:
 
     ``forward(params, cfg, tokens, cache, positions=None, tree_mask=None)``
     -> (logits_f32 [B,S,V], cache). The params pytree travels separately so
-    the bundle stays hashable as a jit static argument.
-    """
+    the bundle stays hashable as a jit static argument. ``kv_quant=True``
+    switches the cache to the int8 variant (M5)."""
 
     family: str
     cfg: object
     forward: Callable
+    kv_quant: bool = False
 
-    def make_cache(self, batch: int, max_len: int) -> KVCache:
+    def make_cache(self, batch: int, max_len: int):
         c = self.cfg
+        if self.kv_quant:
+            return init_quant_cache(c.num_layers, batch, c.num_kv_heads, max_len, c.head_dim)
         return init_cache(
             c.num_layers, batch, c.num_kv_heads, max_len, c.head_dim, c.jnp_dtype
         )

@@ -25,8 +25,14 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..cache.kvcache import KVCache, write_layer
+from ..cache.kvcache import (
+    KVCache,
+    layer_scan_slices,
+    rebuild,
+    update_and_read_layer,
+)
 from ..core.config import LlamaConfig
+from .linear import linear, lm_head_logits
 
 _MASK_VALUE = -1e30
 
@@ -118,20 +124,20 @@ def forward(
     scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
 
     def layer_fn(h, xs):
-        lp, k_cache_l, v_cache_l = xs
+        lp, cache_slices = xs
         r = rms_norm(h, lp["ln_attn"], cfg.rms_norm_eps)
-        q = (r @ lp["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = (r @ lp["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = (r @ lp["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = linear(r, lp["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = linear(r, lp["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(r, lp["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        k_cache_l, v_cache_l = write_layer(
-            k_cache_l, v_cache_l, cache.length,
-            k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        cache_slices, k_all, v_all = update_and_read_layer(
+            cache_slices, cache.length,
+            k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), dtype,
         )
-        kk = jnp.repeat(k_cache_l, n_rep, axis=1)  # [B, Hq, S_max, D]
-        vv = jnp.repeat(v_cache_l, n_rep, axis=1)
+        kk = jnp.repeat(k_all, n_rep, axis=1)  # [B, Hq, S_max, D]
+        vv = jnp.repeat(v_all, n_rep, axis=1)
 
         qh = q.transpose(0, 2, 1, 3)  # [B, Hq, S, D]
         scores = jnp.einsum("bhsd,bhtd->bhst", qh, kk, preferred_element_type=jnp.float32)
@@ -139,22 +145,23 @@ def forward(
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
         ctx = jnp.einsum("bhst,bhtd->bhsd", probs, vv, preferred_element_type=jnp.float32)
         ctx = ctx.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
-        h = h + ctx @ lp["wo"]
+        h = h + linear(ctx, lp["wo"])
 
         r = rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps)
-        gate = jax.nn.silu((r @ lp["w_gate"]).astype(jnp.float32)).astype(dtype)
-        up = r @ lp["w_up"]
-        h = h + (gate * up) @ lp["w_down"]
-        return h, (k_cache_l, v_cache_l)
+        gate = jax.nn.silu(linear(r, lp["w_gate"]).astype(jnp.float32)).astype(dtype)
+        up = linear(r, lp["w_up"])
+        h = h + linear(gate * up, lp["w_down"])
+        return h, cache_slices
 
-    h, (new_k, new_v) = jax.lax.scan(layer_fn, h, (params["layers"], cache.k, cache.v))
+    h, new_slices = jax.lax.scan(
+        layer_fn, h, (params["layers"], layer_scan_slices(cache))
+    )
 
     h = rms_norm(h, params["ln_final"], cfg.rms_norm_eps)
     lm_head = params["embed"] if cfg.tie_embeddings else params["lm_head"]
-    logits = jnp.einsum("bsh,vh->bsv", h, lm_head, preferred_element_type=jnp.float32)
+    logits = lm_head_logits(h, lm_head)
 
-    new_cache = KVCache(new_k, new_v, cache.length + s)
-    return logits, new_cache
+    return logits, rebuild(cache, new_slices, cache.length + s)
 
 
 def init_params(cfg: LlamaConfig, key: jax.Array) -> dict:

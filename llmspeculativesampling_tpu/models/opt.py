@@ -21,8 +21,14 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..cache.kvcache import KVCache, write_layer
+from ..cache.kvcache import (
+    KVCache,
+    layer_scan_slices,
+    rebuild,
+    update_and_read_layer,
+)
 from ..core.config import OPTConfig
+from .linear import linear, lm_head_logits
 from .llama import attention_mask
 
 _POS_OFFSET = 2  # OPT quirk: positional table rows 0/1 are reserved
@@ -62,46 +68,48 @@ def forward(
     scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
 
     def layer_fn(h, xs):
-        lp, k_cache_l, v_cache_l = xs
+        lp, cache_slices = xs
         residual = h
         r = layer_norm(h, lp["ln_attn_w"], lp["ln_attn_b"], cfg.layer_norm_eps) \
             if cfg.do_layer_norm_before else h
-        q = (r @ lp["wq"] + lp["bq"]).reshape(b, s, n_heads, head_dim)
-        k = (r @ lp["wk"] + lp["bk"]).reshape(b, s, n_heads, head_dim)
-        v = (r @ lp["wv"] + lp["bv"]).reshape(b, s, n_heads, head_dim)
+        q = linear(r, lp["wq"], lp["bq"]).reshape(b, s, n_heads, head_dim)
+        k = linear(r, lp["wk"], lp["bk"]).reshape(b, s, n_heads, head_dim)
+        v = linear(r, lp["wv"], lp["bv"]).reshape(b, s, n_heads, head_dim)
 
-        k_cache_l, v_cache_l = write_layer(
-            k_cache_l, v_cache_l, cache.length,
-            k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        cache_slices, k_all, v_all = update_and_read_layer(
+            cache_slices, cache.length,
+            k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), dtype,
         )
         qh = q.transpose(0, 2, 1, 3)
-        scores = jnp.einsum("bhsd,bhtd->bhst", qh, k_cache_l, preferred_element_type=jnp.float32)
+        scores = jnp.einsum("bhsd,bhtd->bhst", qh, k_all, preferred_element_type=jnp.float32)
         scores = scores * scale + bias
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        ctx = jnp.einsum("bhst,bhtd->bhsd", probs, v_cache_l, preferred_element_type=jnp.float32)
+        ctx = jnp.einsum("bhst,bhtd->bhsd", probs, v_all, preferred_element_type=jnp.float32)
         ctx = ctx.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
-        h = residual + (ctx @ lp["wo"] + lp["bo"])
+        h = residual + linear(ctx, lp["wo"], lp["bo"])
         if not cfg.do_layer_norm_before:
             h = layer_norm(h, lp["ln_attn_w"], lp["ln_attn_b"], cfg.layer_norm_eps)
 
         residual = h
         r = layer_norm(h, lp["ln_mlp_w"], lp["ln_mlp_b"], cfg.layer_norm_eps) \
             if cfg.do_layer_norm_before else h
-        r = jax.nn.relu(r @ lp["fc1_w"] + lp["fc1_b"])
-        h = residual + (r @ lp["fc2_w"] + lp["fc2_b"])
+        r = jax.nn.relu(linear(r, lp["fc1_w"], lp["fc1_b"]))
+        h = residual + linear(r, lp["fc2_w"], lp["fc2_b"])
         if not cfg.do_layer_norm_before:
             h = layer_norm(h, lp["ln_mlp_w"], lp["ln_mlp_b"], cfg.layer_norm_eps)
-        return h, (k_cache_l, v_cache_l)
+        return h, cache_slices
 
-    h, (new_k, new_v) = jax.lax.scan(layer_fn, h, (params["layers"], cache.k, cache.v))
+    h, new_slices = jax.lax.scan(
+        layer_fn, h, (params["layers"], layer_scan_slices(cache))
+    )
 
     if "ln_final_w" in params and cfg.do_layer_norm_before:
         h = layer_norm(h, params["ln_final_w"], params["ln_final_b"], cfg.layer_norm_eps)
     if "project_out" in params:
         h = h @ params["project_out"]
     head = params.get("lm_head", params["embed"])
-    logits = jnp.einsum("bse,ve->bsv", h, head, preferred_element_type=jnp.float32)
-    return logits, KVCache(new_k, new_v, cache.length + s)
+    logits = lm_head_logits(h, head)
+    return logits, rebuild(cache, new_slices, cache.length + s)
 
 
 def init_params(cfg: OPTConfig, key: jax.Array) -> dict:
