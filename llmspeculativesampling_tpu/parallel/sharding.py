@@ -75,19 +75,59 @@ def param_specs(family: str, cfg) -> dict:
     return llama_param_specs(cfg) if family == "llama" else opt_param_specs(cfg)
 
 
+def quant_leaf_spec(spec: P) -> dict:
+    """Derive the spec for a quantized weight ``{"q": int8 [..., K, N],
+    "s": f32 [..., N]}`` from its dense ``[..., K, N]`` spec: ``q`` keeps
+    the dense layout; ``s`` drops the K (second-to-last) axis."""
+    entries = tuple(spec)
+    s_spec = P(*(entries[:-2] + entries[-1:])) if len(entries) >= 2 else spec
+    return {"q": spec, "s": s_spec}
+
+
 def cache_spec() -> P:
-    """KV cache [L, B, H_kv, S_max, D]: heads over tp, batch over dp."""
+    """KV cache data [L, B, H_kv, S_max, D]: heads over tp, batch over dp."""
     return P(None, DP_AXIS, TP_AXIS, None, None)
 
 
+def cache_scale_spec() -> P:
+    """Int8-cache scales [L, B, H_kv, S_max] (no head_dim axis)."""
+    return P(None, DP_AXIS, TP_AXIS, None)
+
+
+def shard_cache(cache, mesh: Mesh):
+    """Place a (dense or int8) KV cache on the mesh: batch over dp, kv-heads
+    over tp; the scalar ``length`` pointer is replicated."""
+
+    def place(x):
+        if x.ndim == 5:
+            spec = cache_spec()
+        elif x.ndim == 4:
+            spec = cache_scale_spec()
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, cache)
+
+
 def shard_params(params, specs, mesh: Mesh):
-    """Place a param pytree on the mesh with the given PartitionSpecs."""
+    """Place a param pytree on the mesh with the given PartitionSpecs.
+
+    Quantized leaves (``{"q", "s"}`` dicts from ``quant.core``) are matched
+    against the *dense* spec for that weight and sharded via
+    :func:`quant_leaf_spec`, so one spec table serves fp16/bf16 and int8
+    checkpoints alike.
+    """
+    from ..quant.core import is_quantized_leaf
 
     def place(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     # specs may be a strict subtree (e.g. no lm_head when tied)
     def walk(p, s):
+        if is_quantized_leaf(p) and isinstance(s, P):
+            qs = quant_leaf_spec(s)
+            return {"q": place(p["q"], qs["q"]), "s": place(p["s"], qs["s"])}
         if isinstance(p, dict):
             return {k: walk(v, s[k]) if k in s else v for k, v in p.items()}
         return place(p, s)
@@ -95,7 +135,11 @@ def shard_params(params, specs, mesh: Mesh):
     out = {}
     for k, v in params.items():
         if k in specs:
-            out[k] = walk(v, specs[k])
+            s = specs[k]
+            if k == "lm_head" and is_quantized_leaf(v) and isinstance(s, P):
+                # quantize_params stores lm_head transposed [H, V]
+                s = P(*reversed(tuple(s)))
+            out[k] = walk(v, s)
         else:
             out[k] = jax.device_put(v, NamedSharding(mesh, P()))
     return out
