@@ -1,5 +1,19 @@
-"""Serving layer (L4): HTTP endpoint over the speculative engine."""
+"""Serving layer (L4): HTTP endpoint + continuous-batching scheduler."""
 
-from .server import InferenceServer, ServerConfig, make_http_server
+from .scheduler import Completion, ContinuousBatchingEngine, Request
+from .server import (
+    BatchedInferenceServer,
+    InferenceServer,
+    ServerConfig,
+    make_http_server,
+)
 
-__all__ = ["InferenceServer", "ServerConfig", "make_http_server"]
+__all__ = [
+    "BatchedInferenceServer",
+    "Completion",
+    "ContinuousBatchingEngine",
+    "InferenceServer",
+    "Request",
+    "ServerConfig",
+    "make_http_server",
+]

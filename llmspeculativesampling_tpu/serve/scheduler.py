@@ -1,0 +1,334 @@
+"""Continuous-batching scheduler (M7) — the TPU answer to serving.py's
+blocking batch-1 loop (/root/reference/serving.py:15-61, SURVEY.md §3.3).
+
+The reference serves one request at a time through a Flask handler; the
+TPU build decodes a *static batch of slots* in SPMD lockstep:
+
+  * The single-request speculative step (``engine.speculative._spec_step``
+    — draft gamma, one verify forward, vectorized accept/resample, O(1)
+    rollback) is ``jax.vmap``-ed over a slot axis. Per-slot scalars
+    (``cur_len``, cache ``length``) become per-slot lanes; the model
+    forwards inside run batched over slots, so the target verify is one
+    [slots*(gamma+1)]-token MXU-friendly forward instead of ``slots``
+    sequential ones.
+  * Requests are admitted into free slots by a host scheduler; admission
+    runs a jitted per-slot prefill that scatters the prompt's KV into the
+    batched cache at the slot index. Prompt lengths are bucketed (64s) so
+    the prefill program cache stays small.
+  * Finished slots (EOS or token budget) stop advancing via a gate inside
+    the vmapped step; their lanes keep computing garbage until replaced —
+    the standard SPMD continuous-batching trade (cf. Orca/JetStream-style
+    slot scheduling; all-new design, nothing like this exists upstream).
+
+Because rollback is a pointer move (cache/kvcache.py), slot lanes never
+reallocate or copy KV — a slot's entire lifetime touches only its own
+rows of the static [L, S, H, T, D] cache.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..cache.kvcache import _map_kv
+from ..engine.speculative import SpecState, _spec_step
+from ..engine.types import ModelBundle, first_eos_truncate, pad_prompt
+from ..ops.sampling import SamplingConfig
+
+
+class BatchState(NamedTuple):
+    spec: SpecState      # every leaf carries a leading slot axis (vmap axis 0)
+    active: jax.Array    # [S] bool — slot holds a live request
+    target_len: jax.Array  # [S] int32 — stop decoding at this cur_len
+
+
+def _stack_slots(tree, num_slots: int):
+    """Allocate a slot-stacked version of a per-slot pytree: every leaf
+    gains a leading [S] axis (zeros)."""
+    return jax.tree.map(
+        lambda x: jnp.zeros((num_slots,) + jnp.shape(x), jnp.asarray(x).dtype), tree
+    )
+
+
+def _take_slot(cache_b, slot):
+    """Per-slot cache (lane ``slot``), with length reset for prefill."""
+    sliced = jax.tree.map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, slot, 0, keepdims=False), cache_b
+    )
+    return _map_kv(sliced, lambda x: x, length=0)
+
+
+def _put_slot(cache_b, cache_s, slot):
+    """Scatter a per-slot cache back into lane ``slot``. The length lane's
+    value is scratch: every decode step re-derives cache length from
+    ``cur_len`` via rollback."""
+    return jax.tree.map(
+        lambda big, small: jax.lax.dynamic_update_index_in_dim(
+            big, small.astype(big.dtype), slot, 0
+        ),
+        cache_b, cache_s,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bundle_d", "bundle_t", "gamma", "scfg", "eos_token_id"),
+)
+def _batched_spec_step(
+    params_d, params_t, state: BatchState, *,
+    bundle_d: ModelBundle, bundle_t: ModelBundle,
+    gamma: int, scfg: SamplingConfig, eos_token_id: int,
+) -> BatchState:
+    """One speculative decode step for every slot, in one XLA program."""
+
+    def one(spec: SpecState, active, target_len):
+        s2 = _spec_step(
+            bundle_d, bundle_t, params_d, params_t, scfg, gamma, eos_token_id,
+            spec, None,
+        )
+        keep = jnp.logical_and(active, jnp.logical_not(spec.done))
+
+        def sel(new, old):
+            return jnp.where(keep, new, old)
+
+        return SpecState(
+            tokens=s2.tokens,                      # garbage lanes are scratch
+            cur_len=sel(s2.cur_len, spec.cur_len),
+            draft_cache=s2.draft_cache,
+            target_cache=s2.target_cache,
+            key=s2.key,
+            done=sel(jnp.logical_or(s2.done, s2.cur_len >= target_len), spec.done),
+            accepted=sel(s2.accepted, spec.accepted),
+            resamples=sel(s2.resamples, spec.resamples),
+            bonus=sel(s2.bonus, spec.bonus),
+            steps=sel(s2.steps, spec.steps),
+            acc_rate_sum=sel(s2.acc_rate_sum, spec.acc_rate_sum),
+            acc_len_hist=jnp.where(keep, s2.acc_len_hist, spec.acc_len_hist),
+        )
+
+    spec = jax.vmap(one)(state.spec, state.active, state.target_len)
+    return BatchState(spec, state.active, state.target_len)
+
+
+@partial(jax.jit, static_argnames=("bundle_d", "bundle_t"))
+def _prefill_slot(
+    params_d, params_t, state: BatchState, slot, prompt_padded, p_len,
+    max_new, key, *, bundle_d: ModelBundle, bundle_t: ModelBundle,
+) -> BatchState:
+    """Admit one request: prefill draft+target KV for ``prompt_padded``
+    [1, P_bucket] into slot ``slot`` and reset the slot's lanes."""
+    spec = state.spec
+    slot = jnp.asarray(slot, jnp.int32)
+    p_len = jnp.asarray(p_len, jnp.int32)
+
+    d_slot = _take_slot(spec.draft_cache, slot)
+    t_slot = _take_slot(spec.target_cache, slot)
+    _, d_slot = bundle_d.forward(params_d, bundle_d.cfg, prompt_padded, d_slot)
+    _, t_slot = bundle_t.forward(params_t, bundle_t.cfg, prompt_padded, t_slot)
+
+    t_max = spec.tokens.shape[-1]
+    row = jnp.zeros((1, t_max), jnp.int32)
+    row = jax.lax.dynamic_update_slice(row, prompt_padded, (0, 0))
+    zero32 = jnp.zeros((), jnp.int32)
+
+    new_spec = SpecState(
+        tokens=jax.lax.dynamic_update_slice(spec.tokens, row[None], (slot, 0, 0)),
+        cur_len=spec.cur_len.at[slot].set(p_len),
+        draft_cache=_put_slot(spec.draft_cache, d_slot, slot),
+        target_cache=_put_slot(spec.target_cache, t_slot, slot),
+        key=spec.key.at[slot].set(key),
+        done=spec.done.at[slot].set(False),
+        accepted=spec.accepted.at[slot].set(zero32),
+        resamples=spec.resamples.at[slot].set(zero32),
+        bonus=spec.bonus.at[slot].set(zero32),
+        steps=spec.steps.at[slot].set(zero32),
+        acc_rate_sum=spec.acc_rate_sum.at[slot].set(0.0),
+        acc_len_hist=spec.acc_len_hist.at[slot].set(
+            jnp.zeros((spec.acc_len_hist.shape[-1],), jnp.int32)
+        ),
+    )
+    return BatchState(
+        spec=new_spec,
+        active=state.active.at[slot].set(True),
+        target_len=state.target_len.at[slot].set(p_len + jnp.asarray(max_new, jnp.int32)),
+    )
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: np.ndarray       # [P] int32
+    max_new_tokens: int
+    submit_time: float
+    prefill_time: Optional[float] = None
+
+
+@dataclasses.dataclass
+class Completion:
+    rid: int
+    output_ids: np.ndarray   # prompt + generation, EOS-truncated
+    prompt_len: int
+    details: dict
+
+
+class ContinuousBatchingEngine:
+    """Slot-based continuous batching over one draft/target pair.
+
+    Host-side scheduler: ``submit`` enqueues; ``step`` admits into free
+    slots (per-request prefill) and advances every live slot by one
+    speculative step; ``run_until_idle`` drains the queue. All device work
+    is two jitted programs (prefill per prompt-bucket, one shared decode
+    step), so steady-state serving never recompiles.
+    """
+
+    def __init__(
+        self,
+        bundle_d: ModelBundle, params_d,
+        bundle_t: ModelBundle, params_t,
+        *,
+        num_slots: int = 4,
+        max_total_len: int = 1024,
+        max_new_cap: int = 256,
+        gamma: int = 4,
+        eos_token_id: int = 2,
+        temperature: float = 1.0,
+        top_k: int = 20,
+        top_p: float = 0.9,
+        seed: int = 0,
+        prompt_bucket: int = 64,
+    ):
+        self.bundle_d, self.params_d = bundle_d, params_d
+        self.bundle_t, self.params_t = bundle_t, params_t
+        self.num_slots = num_slots
+        self.max_total_len = max_total_len
+        self.gamma = gamma
+        self.eos_token_id = eos_token_id
+        self.scfg = SamplingConfig(temperature, top_k, top_p)
+        self.prompt_bucket = prompt_bucket
+
+        s = num_slots
+        key = jax.random.key(seed)
+        self._admit_key, step_keys = jax.random.split(key)
+        spec = SpecState(
+            tokens=jnp.zeros((s, 1, max_total_len), jnp.int32),
+            cur_len=jnp.full((s,), 2, jnp.int32),  # >=2 keeps idle lanes safe
+            draft_cache=_stack_slots(bundle_d.make_cache(1, max_total_len), s),
+            target_cache=_stack_slots(bundle_t.make_cache(1, max_total_len), s),
+            key=jax.random.split(step_keys, s),
+            done=jnp.ones((s,), bool),
+            accepted=jnp.zeros((s,), jnp.int32),
+            resamples=jnp.zeros((s,), jnp.int32),
+            bonus=jnp.zeros((s,), jnp.int32),
+            steps=jnp.zeros((s,), jnp.int32),
+            acc_rate_sum=jnp.zeros((s,), jnp.float32),
+            acc_len_hist=jnp.zeros((s, max_new_cap), jnp.int32),
+        )
+        self.state = BatchState(
+            spec=spec,
+            active=jnp.zeros((s,), bool),
+            target_len=jnp.full((s,), max_total_len, jnp.int32),
+        )
+
+        self._next_rid = 0
+        self._pending: collections.deque[Request] = collections.deque()
+        self._slot_req: list[Optional[Request]] = [None] * s
+        self.completions: dict[int, Completion] = {}
+        self.max_new_cap = max_new_cap
+
+    # ------------------------------------------------------------ interface
+    def submit(self, prompt_ids, max_new_tokens: int = 40) -> int:
+        ids = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if ids.shape[0] < 2:
+            raise ValueError("prompt must have at least 2 tokens")
+        max_new = min(int(max_new_tokens), self.max_new_cap)
+        if ids.shape[0] + max_new + self.gamma + 1 > self.max_total_len:
+            raise ValueError(
+                f"prompt({ids.shape[0]}) + max_new({max_new}) exceeds "
+                f"max_total_len={self.max_total_len}"
+            )
+        rid = self._next_rid
+        self._next_rid += 1
+        self._pending.append(Request(rid, ids, max_new, time.perf_counter()))
+        return rid
+
+    @property
+    def num_active(self) -> int:
+        return sum(r is not None for r in self._slot_req)
+
+    def _admit(self):
+        free = [i for i, r in enumerate(self._slot_req) if r is None]
+        while free and self._pending:
+            slot = free.pop(0)
+            req = self._pending.popleft()
+            padded, p_len = pad_prompt(req.prompt, self.prompt_bucket)
+            self._admit_key, sub = jax.random.split(self._admit_key)
+            self.state = _prefill_slot(
+                self.params_d, self.params_t, self.state,
+                slot, jnp.asarray(padded), p_len, req.max_new_tokens, sub,
+                bundle_d=self.bundle_d, bundle_t=self.bundle_t,
+            )
+            req.prefill_time = time.perf_counter()
+            self._slot_req[slot] = req
+
+    def _collect(self):
+        spec = self.state.spec
+        done = np.asarray(spec.done)
+        cur_len = np.asarray(spec.cur_len)
+        for slot, req in enumerate(self._slot_req):
+            if req is None or not done[slot]:
+                continue
+            p_len = req.prompt.shape[0]
+            toks = np.asarray(spec.tokens[slot])
+            out = first_eos_truncate(toks, p_len, int(cur_len[slot]), self.eos_token_id)
+            steps = int(spec.steps[slot])
+            drafted = steps * self.gamma
+            now = time.perf_counter()
+            details = {
+                "ttft_s": (req.prefill_time or now) - req.submit_time,
+                "latency_s": now - req.submit_time,
+                "acc_len": np.asarray(spec.acc_len_hist[slot])[:steps].tolist(),
+                "acc_rate": float(spec.acc_rate_sum[slot]) / max(drafted, 1),
+                "target_call_times": steps,
+                "approx_call_times": steps,
+                "accepted_count": int(spec.accepted[slot]),
+                "resample_count": int(spec.resamples[slot]),
+                "target_sample_count": int(spec.bonus[slot]),
+                "tokens_generated": len(out) - p_len,
+            }
+            self.completions[req.rid] = Completion(req.rid, out, p_len, details)
+            self._slot_req[slot] = None
+            self.state = BatchState(
+                spec=spec,
+                active=self.state.active.at[slot].set(False),
+                target_len=self.state.target_len,
+            )
+            spec = self.state.spec
+
+    def step(self) -> int:
+        """Admit + one batched decode step + harvest. Returns #live slots."""
+        self._admit()
+        if self.num_active:
+            self.state = _batched_spec_step(
+                self.params_d, self.params_t, self.state,
+                bundle_d=self.bundle_d, bundle_t=self.bundle_t,
+                gamma=self.gamma, scfg=self.scfg, eos_token_id=self.eos_token_id,
+            )
+            self._collect()
+        return self.num_active
+
+    def run_until_idle(self, max_steps: int = 10_000):
+        steps = 0
+        while (self._pending or self.num_active) and steps < max_steps:
+            self.step()
+            steps += 1
+        return steps
+
+    def result(self, rid: int) -> Optional[Completion]:
+        return self.completions.pop(rid, None)

@@ -148,7 +148,77 @@ class InferenceServer:
         return text, out
 
 
-def make_http_server(server: InferenceServer, host: str = "0.0.0.0",
+class BatchedInferenceServer:
+    """Continuous-batching front end: concurrent ``process_request`` calls
+    share the slot batch of a ``ContinuousBatchingEngine`` instead of
+    serializing through a lock — the M7 replacement for the reference's
+    blocking one-at-a-time loop (serving.py:29-38).
+
+    A daemon thread advances the engine whenever work is queued; request
+    threads block on a condition until their rid completes.
+    """
+
+    def __init__(self, server: InferenceServer, num_slots: int = 4,
+                 max_total_len: int = 1024, max_new_cap: int = 256):
+        from .scheduler import ContinuousBatchingEngine
+
+        c = server.config
+        self.tokenizer = server.tokenizer
+        self.config = c
+        self.stats = server.stats
+        self.engine = ContinuousBatchingEngine(
+            server.bundle_d, server.params_d, server.bundle_t, server.params_t,
+            num_slots=num_slots, max_total_len=max_total_len,
+            max_new_cap=max_new_cap, gamma=c.gamma, eos_token_id=c.eos_token_id,
+            temperature=c.temperature, top_k=c.top_k, top_p=c.top_p,
+        )
+        self._cv = threading.Condition()
+        self._results: dict = {}
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while not self._stop:
+            with self._cv:
+                busy = bool(self.engine._pending) or self.engine.num_active > 0
+                if not busy:
+                    self._cv.wait(timeout=0.05)
+                    continue
+                self.engine.step()
+                if self.engine.completions:
+                    for rid in list(self.engine.completions):
+                        self._results[rid] = self.engine.result(rid)
+                    self._cv.notify_all()
+
+    def shutdown(self):
+        self._stop = True
+        self._thread.join(timeout=5)
+
+    def process_request(self, request: dict):
+        c = self.config
+        if "prompt_ids" in request:
+            ids = np.asarray(request["prompt_ids"], np.int32).reshape(-1)
+        else:
+            if self.tokenizer is None:
+                raise ValueError("text prompt requires a tokenizer; send prompt_ids")
+            ids = np.asarray(self.tokenizer.encode(request["prompt"]), np.int32)
+        num_tokens = int(request.get("max_tokens", c.num_tokens))
+        t0 = time.perf_counter()
+        with self._cv:
+            rid = self.engine.submit(ids, num_tokens)
+            self._cv.notify_all()
+            while rid not in self._results:
+                self._cv.wait(timeout=1.0)
+            comp = self._results.pop(rid)
+        self.stats.record(comp.details["tokens_generated"], time.perf_counter() - t0)
+        text = None
+        if self.tokenizer is not None:
+            text = self.tokenizer.decode(comp.output_ids.tolist(), skip_special_tokens=True)
+        return text, comp.output_ids
+
+
+def make_http_server(server, host: str = "0.0.0.0",
                      port: int = 5000) -> ThreadingHTTPServer:
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -200,10 +270,16 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--num_tokens", type=int, default=40)
     p.add_argument("--gamma", type=int, default=4)
+    p.add_argument("--num_slots", type=int, default=0,
+                   help=">0 enables continuous batching with that many slots")
+    p.add_argument("--max_total_len", type=int, default=1024)
     args = p.parse_args(argv)
     srv = InferenceServer.from_pretrained(
         args.approx_model_name, args.target_model_name,
         ServerConfig(num_tokens=args.num_tokens, gamma=args.gamma))
+    if args.num_slots > 0:
+        srv = BatchedInferenceServer(srv, num_slots=args.num_slots,
+                                     max_total_len=args.max_total_len)
     httpd = make_http_server(srv, args.host, args.port)
     print(f"serving on {args.host}:{args.port}")
     httpd.serve_forever()

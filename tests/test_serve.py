@@ -9,6 +9,7 @@ import numpy as np
 
 from llmspeculativesampling_tpu.core.synthetic import synthetic_pair
 from llmspeculativesampling_tpu.serve import (
+    BatchedInferenceServer,
     InferenceServer,
     ServerConfig,
     make_http_server,
@@ -64,3 +65,31 @@ def test_http_predict_roundtrip():
         assert json.loads(conn.getresponse().read())["requests"] >= 1
     finally:
         httpd.shutdown()
+
+
+def test_batched_server_concurrent_requests():
+    """Concurrent POSTs share the slot batch (continuous batching, M7)."""
+    srv = BatchedInferenceServer(_tiny_server(), num_slots=3, max_total_len=256)
+    try:
+        rng = np.random.default_rng(1)
+        prompts = [list(rng.integers(5, 250, int(n))) for n in (12, 20, 7, 16)]
+        results = [None] * len(prompts)
+
+        def work(i):
+            _, out = srv.process_request(
+                {"prompt_ids": prompts[i], "max_tokens": 6 + i})
+            results[i] = out
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i, out in enumerate(results):
+            assert out is not None, f"request {i} did not complete"
+            p = len(prompts[i])
+            assert out[:p].tolist() == prompts[i]
+            assert len(out) > p
+        assert srv.stats.snapshot()["requests"] == 4
+    finally:
+        srv.shutdown()
