@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..cache.kvcache import rollback
-from ..ops.sampling import SamplingConfig, norm_logits, sample
+from ..ops.sampling import SamplingConfig, dist_norm, dist_sample
 from .types import ModelBundle, first_eos_truncate, pad_prompt
 
 
@@ -61,8 +61,7 @@ def _ar_generate_device(
     def body(state):
         tokens, cur_len, cache, key, last_logits, done = state
         key, k_s = jax.random.split(key)
-        probs = norm_logits(last_logits, scfg)
-        t = sample(k_s, probs)  # [1]
+        t = dist_sample(k_s, dist_norm(last_logits, scfg))  # [1]
         tokens = jax.lax.dynamic_update_slice(tokens, t[:, None], (0, cur_len))
         cur_len = cur_len + 1
         done = t[0] == eos_token_id

@@ -36,7 +36,16 @@ import jax
 import jax.numpy as jnp
 
 from ..cache.kvcache import KVCache, rollback
-from ..ops.sampling import SamplingConfig, max_fn, norm_logits, sample
+from ..ops.sampling import (
+    SamplingConfig,
+    dist_concat,
+    dist_norm,
+    dist_pad_zero_rows,
+    dist_prob_of,
+    dist_residual,
+    dist_sample,
+    dist_take,
+)
 from .types import ModelBundle, first_eos_truncate, pad_prompt
 
 
@@ -66,24 +75,24 @@ def draft_phase(bundle, params, scfg, gamma, tokens, cur_len, cache, key):
     cache = rollback(cache, cur_len - 2)
     first_in = jax.lax.dynamic_slice(tokens, (0, cur_len - 2), (1, 2))
     logits, cache = bundle.forward(params, cfg, first_in, cache)
-    q0 = norm_logits(logits[:, -1], scfg)  # [1, V]
+    q0 = dist_norm(logits[:, -1], scfg)  # dist over batch [1]
     key, k0 = jax.random.split(key)
-    x0 = sample(k0, q0)  # [1]
+    x0 = dist_sample(k0, q0)  # [1]
     tokens = jax.lax.dynamic_update_slice(tokens, x0[:, None], (0, cur_len))
 
     def body(carry, _):
         cache, last_tok, key = carry
         logits, cache = bundle.forward(params, cfg, last_tok[:, None], cache)
-        q = norm_logits(logits[:, 0], scfg)
+        q = dist_norm(logits[:, 0], scfg)
         key, ks = jax.random.split(key)
-        x = sample(ks, q)
-        return (cache, x, key), (q[0], x[0])
+        x = dist_sample(ks, q)
+        return (cache, x, key), (dist_take(q, 0), x[0])
 
     if gamma > 1:
         (cache, _, key), (q_rest, x_rest) = jax.lax.scan(
             body, (cache, x0, key), None, length=gamma - 1
         )
-        q_stack = jnp.concatenate([q0, q_rest], axis=0)  # [gamma, V]
+        q_stack = dist_concat([q0, q_rest], axis=0)  # rows: gamma
         drafts = jnp.concatenate([x0, x_rest])  # [gamma]
         tokens = jax.lax.dynamic_update_slice(tokens, x_rest[None, :], (0, cur_len + 1))
     else:
@@ -97,7 +106,7 @@ def verify_phase(bundle, params, scfg, gamma, tokens, cur_len, cache):
     cache = rollback(cache, cur_len - 1)
     vin = jax.lax.dynamic_slice(tokens, (0, cur_len - 1), (1, gamma + 1))
     logits, cache = bundle.forward(params, cfg, vin, cache)
-    return norm_logits(logits[0], scfg), cache  # [gamma+1, V]
+    return dist_norm(logits[0], scfg), cache  # rows: gamma+1
 
 
 def accept_phase(scfg, gamma, eos_token_id, tokens, cur_len, q_stack, drafts, p_stack, key, fixed_r=None):
@@ -107,9 +116,9 @@ def accept_phase(scfg, gamma, eos_token_id, tokens, cur_len, q_stack, drafts, p_
     r_i <= p_i(x_i)/q_i(x_i); on first reject at n, resample from
     max_fn(p_n - q_n); on all-accept, bonus-sample from p_gamma.
     """
-    idx = jnp.arange(gamma)
-    q_sel = q_stack[idx, drafts]  # [gamma]
-    p_sel = p_stack[:gamma][idx, drafts]
+    rows = jnp.arange(gamma)
+    q_sel = dist_prob_of(q_stack, drafts)  # [gamma]
+    p_sel = dist_prob_of(dist_take(p_stack, rows), drafts)
     ratio = p_sel / q_sel
     key, k_r, k_t = jax.random.split(key, 3)
     r = fixed_r if fixed_r is not None else jax.random.uniform(k_r, (gamma,))
@@ -118,12 +127,12 @@ def accept_phase(scfg, gamma, eos_token_id, tokens, cur_len, q_stack, drafts, p_
     n = jnp.sum(acc_prefix)  # leading accepts, 0..gamma
 
     # residual resample at position n (guarded gather; only used when n<gamma)
-    q_padded = jnp.concatenate([q_stack, jnp.zeros_like(q_stack[:1])], axis=0)
-    p_n = jnp.take(p_stack, n, axis=0)
-    q_n = jnp.take(q_padded, n, axis=0)
-    resid = max_fn(p_n - q_n)
-    t_resample = sample(k_t, resid[None])[0]
-    t_bonus = sample(k_t, p_stack[gamma][None])[0]
+    q_padded = dist_pad_zero_rows(q_stack, 1)
+    p_n = dist_take(p_stack, n)
+    q_n = dist_take(q_padded, n)
+    resid = dist_residual(p_n, q_n)
+    t_resample = dist_sample(k_t, resid)
+    t_bonus = dist_sample(k_t, dist_take(p_stack, gamma))
     all_acc = n == gamma
     t = jnp.where(all_acc, t_bonus, t_resample)
 

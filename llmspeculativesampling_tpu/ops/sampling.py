@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -158,3 +158,148 @@ def residual_update(p: jax.Array, q: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnames=("cfg",))
 def norm_logits_jit(logits: jax.Array, cfg: SamplingConfig) -> jax.Array:
     return norm_logits(logits, cfg)
+
+
+# --------------------------------------------------------------------------
+# Sparse top-k-space distributions (TPU fast path)
+#
+# When top-k filtering is active (the reference's headline configs always
+# run top_k=20, evaluation.py:254), every downstream operation — top-p,
+# categorical sampling, the accept ratio p(x)/q(x), and the residual
+# max_fn(p-q) — only ever touches the k surviving tokens. Materializing
+# [.., 32000] distributions and full-vocab sorts for that costs as much as
+# an entire 13B-layer forward on TPU (measured: ~1.7ms/row vs ~2.6ms for a
+# 1B-model decode step). The TopKDist form keeps (ids, probs) of the k
+# survivors; math below is exact vs the dense path except when several
+# logits tie *exactly* at the k-th value (dense keeps all ties,
+# utils.py:166-169; top_k keeps the lowest-index k — measure-zero for real
+# model logits).
+# --------------------------------------------------------------------------
+
+class TopKDist(NamedTuple):
+    """A filtered+normalized distribution restricted to its support.
+
+    ``idx``: int32 [..., k] token ids, descending probability;
+    ``probs``: f32 [..., k], sums to 1 over the support (zeros where
+    top-p dropped a candidate).
+    """
+
+    idx: jax.Array
+    probs: jax.Array
+
+
+def norm_logits_topk(logits: jax.Array, cfg: SamplingConfig) -> TopKDist:
+    """Sparse equivalent of :func:`norm_logits`; requires ``cfg.top_k > 0``.
+
+    The softmax over the k kept logits equals the dense filtered softmax
+    restricted to its support, and the shifted-cumsum nucleus rule
+    (utils.py:170-178) needs only the k sorted survivors.
+    """
+    assert cfg.top_k > 0, "sparse path requires top-k filtering"
+    k = min(cfg.top_k, logits.shape[-1])
+    x = logits.astype(jnp.float32)
+    if cfg.temperature != 1.0:
+        x = x / cfg.temperature
+    vals, idx = jax.lax.top_k(x, k)  # sorted descending
+    probs = jax.nn.softmax(vals, axis=-1)
+    if cfg.top_p > 0.0:
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) <= cfg.top_p  # first sorted token always kept
+        probs = jnp.where(keep, probs, 0.0)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    return TopKDist(idx.astype(jnp.int32), probs)
+
+
+def sample_topk(key: jax.Array, dist: TopKDist) -> jax.Array:
+    """k-space categorical draw with the reference's zero-prob-draw guard
+    (utils.py:228-230). Returns int32 ids shaped ``dist.probs.shape[:-1]``."""
+    j = jax.random.categorical(key, jnp.log(dist.probs), axis=-1)
+    chosen = jnp.take_along_axis(dist.probs, j[..., None], axis=-1)[..., 0]
+    j = jnp.where(chosen < ZERO_PROB_EPS, jnp.argmax(dist.probs, axis=-1), j)
+    return jnp.take_along_axis(dist.idx, j[..., None], axis=-1)[..., 0].astype(jnp.int32)
+
+
+def prob_of_topk(dist: TopKDist, token: jax.Array) -> jax.Array:
+    """Probability mass the distribution puts on ``token`` (0 if outside
+    the support). ``token``: int32 [...] matching the batch shape."""
+    hit = dist.idx == token[..., None]
+    return jnp.sum(jnp.where(hit, dist.probs, 0.0), axis=-1)
+
+
+def residual_topk(p: TopKDist, q: TopKDist) -> TopKDist:
+    """Sparse ``max_fn(p - q)`` (utils.py:236-245). The residual's support
+    is contained in p's support (where p=0, max(p-q,0)=0), so only q's mass
+    at p's token ids matters — a k x k id match, never a vocab-sized op."""
+    q_at_p = jnp.sum(
+        jnp.where(p.idx[..., :, None] == q.idx[..., None, :], q.probs[..., None, :], 0.0),
+        axis=-1,
+    )
+    w = jnp.maximum(p.probs - q_at_p, 0.0)
+    return TopKDist(p.idx, w / (jnp.sum(w, axis=-1, keepdims=True) + MAX_FN_EPS))
+
+
+def dense_probs(dist: TopKDist, vocab_size: int) -> jax.Array:
+    """Scatter a TopKDist back to a dense [..., V] distribution."""
+    lead = dist.probs.shape[:-1]
+    idx2 = dist.idx.reshape(-1, dist.idx.shape[-1])
+    pr2 = dist.probs.reshape(-1, dist.probs.shape[-1])
+    out = jnp.zeros((idx2.shape[0], vocab_size), jnp.float32)
+    out = out.at[jnp.arange(idx2.shape[0])[:, None], idx2].add(pr2)
+    return out.reshape(*lead, vocab_size)
+
+
+# ---- representation-agnostic dispatch: engines call these and work with
+# either dense [..., V] arrays or TopKDist sparse form, chosen at trace
+# time from the static SamplingConfig.
+
+def use_sparse(cfg: SamplingConfig) -> bool:
+    return cfg.top_k > 0
+
+
+def dist_norm(logits: jax.Array, cfg: SamplingConfig):
+    return norm_logits_topk(logits, cfg) if use_sparse(cfg) else norm_logits(logits, cfg)
+
+
+def dist_sample(key: jax.Array, dist) -> jax.Array:
+    if isinstance(dist, TopKDist):
+        return sample_topk(key, dist)
+    return sample(key, dist)
+
+
+def dist_prob_of(dist, token: jax.Array) -> jax.Array:
+    if isinstance(dist, TopKDist):
+        return prob_of_topk(dist, token)
+    return jnp.take_along_axis(dist, token[..., None], axis=-1)[..., 0]
+
+
+def dist_residual(p, q):
+    if isinstance(p, TopKDist):
+        return residual_topk(p, q)
+    return max_fn(p - q)
+
+
+def dist_take(dist, n, axis: int = 0):
+    """Row-select (e.g. the reject position) with a traced index."""
+    if isinstance(dist, TopKDist):
+        return TopKDist(jnp.take(dist.idx, n, axis=axis), jnp.take(dist.probs, n, axis=axis))
+    return jnp.take(dist, n, axis=axis)
+
+
+def dist_concat(dists, axis: int = 0):
+    if isinstance(dists[0], TopKDist):
+        return TopKDist(
+            jnp.concatenate([d.idx for d in dists], axis=axis),
+            jnp.concatenate([d.probs for d in dists], axis=axis),
+        )
+    return jnp.concatenate(dists, axis=axis)
+
+
+def dist_pad_zero_rows(dist, rows: int = 1, axis: int = 0):
+    """Append all-zero rows (used to guard gathers past the last draft)."""
+    if isinstance(dist, TopKDist):
+        pad = [(0, 0)] * dist.idx.ndim
+        pad[axis] = (0, rows)
+        return TopKDist(jnp.pad(dist.idx, pad), jnp.pad(dist.probs, pad))
+    pad = [(0, 0)] * dist.ndim
+    pad[axis] = (0, rows)
+    return jnp.pad(dist, pad)

@@ -215,3 +215,68 @@ def test_expect_cnt_by_thres_parity(thres):
         ours = int(get_expect_cnt_by_thres(jnp.asarray(pw), thres))
         ref = torch_expect_cnt(torch.tensor(pw), thres)
         assert ours == ref
+
+
+# ------------------------------------------------- sparse top-k-space path
+class TestTopKDist:
+    def _cfg(self, **kw):
+        from llmspeculativesampling_tpu.ops.sampling import SamplingConfig
+        d = dict(temperature=1.0, top_k=20, top_p=0.9)
+        d.update(kw)
+        return SamplingConfig(**d)
+
+    def test_norm_logits_topk_matches_dense(self):
+        from llmspeculativesampling_tpu.ops.sampling import (
+            dense_probs, norm_logits, norm_logits_topk)
+        for seed, cfg in [(0, self._cfg()), (1, self._cfg(top_p=0.0)),
+                          (2, self._cfg(temperature=0.7)),
+                          (3, self._cfg(top_k=5, top_p=0.5))]:
+            logits = jax.random.normal(jax.random.key(seed), (3, 500)) * 3
+            dense = np.asarray(norm_logits(logits, cfg))
+            sparse = np.asarray(dense_probs(norm_logits_topk(logits, cfg), 500))
+            np.testing.assert_allclose(sparse, dense, rtol=1e-5, atol=1e-7)
+
+    def test_prob_of_and_residual_match_dense(self):
+        from llmspeculativesampling_tpu.ops.sampling import (
+            dense_probs, max_fn, norm_logits, norm_logits_topk, prob_of_topk,
+            residual_topk)
+        cfg = self._cfg()
+        kp, kq = jax.random.split(jax.random.key(7))
+        lp = jax.random.normal(kp, (4, 300)) * 2
+        lq = jax.random.normal(kq, (4, 300)) * 2
+        p_s, q_s = norm_logits_topk(lp, cfg), norm_logits_topk(lq, cfg)
+        p_d, q_d = norm_logits(lp, cfg), norm_logits(lq, cfg)
+        tok = jnp.asarray([5, 17, 2, int(jnp.argmax(lp[3]))], jnp.int32)
+        np.testing.assert_allclose(
+            np.asarray(prob_of_topk(p_s, tok)),
+            np.asarray(jnp.take_along_axis(p_d, tok[:, None], -1)[:, 0]),
+            rtol=1e-5, atol=1e-7)
+        resid_d = np.asarray(max_fn(p_d - q_d))
+        resid_s = np.asarray(dense_probs(residual_topk(p_s, q_s), 300))
+        np.testing.assert_allclose(resid_s, resid_d, rtol=1e-4, atol=1e-6)
+
+    def test_sample_topk_statistics(self):
+        from llmspeculativesampling_tpu.ops.sampling import (
+            dense_probs, norm_logits_topk, sample_topk)
+        cfg = self._cfg(top_k=8, top_p=0.8)
+        logits = jax.random.normal(jax.random.key(0), (50,)) * 2
+        dist = norm_logits_topk(logits, cfg)
+        probs = np.asarray(dense_probs(dist, 50))
+        n = 20000
+        keys = jax.random.split(jax.random.key(1), n)
+        draws = np.asarray(jax.jit(jax.vmap(lambda k: sample_topk(k, dist)))(keys))
+        hist = np.bincount(draws, minlength=50) / n
+        assert np.abs(hist - probs).max() < 0.02
+        assert set(np.unique(draws)) <= set(np.nonzero(probs)[0].tolist())
+
+    def test_dispatch_picks_representation(self):
+        from llmspeculativesampling_tpu.ops.sampling import (
+            TopKDist, dist_norm, dist_pad_zero_rows, dist_take)
+        logits = jax.random.normal(jax.random.key(0), (2, 64))
+        sp = dist_norm(logits, self._cfg())
+        de = dist_norm(logits, self._cfg(top_k=0, top_p=0.9))
+        assert isinstance(sp, TopKDist) and not isinstance(de, TopKDist)
+        padded = dist_pad_zero_rows(sp, 1)
+        assert padded.idx.shape[0] == 3
+        row = dist_take(padded, jnp.int32(2))
+        assert float(row.probs.sum()) == 0.0
