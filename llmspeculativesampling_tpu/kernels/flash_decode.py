@@ -1,0 +1,339 @@
+"""Pallas length-aware flash-decode attention (dense + int8 KV).
+
+The static-shape KV cache (cache/kvcache.py) makes every XLA attention op
+span ``[0, S_max)`` — correct (masked) but it *reads the whole cache from
+HBM every layer, every step*. At serving shapes (S_max 1-4k, live length a
+few hundred) that wastes most of the attention bandwidth. The reference
+never hits this problem because it trims tensors on the host
+(/root/reference/sampling/kvcache_model.py:359-436) — the TPU answer is a
+kernel, not a realloc:
+
+  * grid = (batch, kv_heads); the cache stays in HBM (``pltpu.ANY``) and
+    the kernel manually DMAs ``block_t``-sized K/V chunks into VMEM,
+    double-buffered, **only up to the live length** — dead cache positions
+    are never fetched.
+  * online (flash) softmax in fp32 accumulates across chunks; the new
+    block (the S_new tokens being decoded, incl. tree candidates) comes in
+    via VMEM with an additive ``block_bias`` (causal or tree mask,
+    reference modeling_llama.py:684-689 semantics).
+  * GQA: q rows are grouped per kv head ([G*S_new, D] tiles) so KV is
+    never repeated (the reference materializes repeat_kv,
+    modeling_llama.py:225-234).
+  * int8 variant: K/V chunks are fetched as int8 + per-position scales and
+    dequantized *algebraically* — scores = (q @ k_q^T) * k_s broadcast over
+    columns, context = (p * v_s) @ v_q — so HBM only ever moves int8 and
+    the bf16 cache never exists anywhere.
+
+Exact-math parity with the XLA path (models/llama.py attention): same
+masking semantics (prefix < length fully visible, block bias on the new
+rows), fp32 softmax, fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_block_t(s_max: int) -> Optional[int]:
+    for bt in (512, 256, 128):
+        if s_max % bt == 0:
+            return bt
+    return None
+
+
+def should_use(s_new: int, s_max: int, head_dim: int) -> bool:
+    """Trace-time gate: kernel for short new blocks (decode/verify/tree
+    steps) over caches whose allocation divides a block size; XLA
+    everywhere else (prefill, CPU tests, odd shapes)."""
+    flag = os.environ.get("LLMSS_FLASH")
+    if flag == "0":
+        return False
+    bt = _pick_block_t(s_max)
+    ok = s_new <= 32 and bt is not None and head_dim % 64 == 0
+    if flag == "1":  # forced (tests)
+        return ok
+    # default: real TPU, and only when the cache is big enough to matter
+    return ok and jax.default_backend() == "tpu" and s_max >= 2 * bt
+
+
+# --------------------------------------------------------------------------
+# kernel body (shared dense / int8; `quant` is a trace-time constant)
+# --------------------------------------------------------------------------
+
+
+def _make_kernel(block_t: int, quant: bool):
+    def kernel(
+        len_ref, q_ref, bias_ref, knew_ref, vnew_ref, kc_ref, vc_ref,
+        *rest,
+    ):
+        if quant:
+            ks_ref, vs_ref, o_ref, k_scr, v_scr, ks_scr, vs_scr, sem = rest
+        else:
+            o_ref, k_scr, v_scr, sem = rest
+            ks_ref = vs_ref = ks_scr = vs_scr = None
+
+        b = pl.program_id(0)
+        h = pl.program_id(1)
+        length = len_ref[b]
+
+        q = q_ref[0, 0]  # [R, D], softmax scale pre-folded
+        r = q.shape[0]
+
+        # ---- new block (resident in VMEM; carries the causal/tree bias)
+        kn = knew_ref[0, 0]  # [S_new, D]
+        vn = vnew_ref[0, 0]
+        s_new = jax.lax.dot_general(
+            q, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) + bias_ref[0]
+        m = jnp.maximum(jnp.max(s_new, axis=-1, keepdims=True), _MASK)
+        p = jnp.exp(s_new - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(vn.dtype), vn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # ---- prefix chunks: double-buffered DMA, fetched only up to length
+        nb = pl.cdiv(length, block_t)
+
+        def dmas(slot, j):
+            out = [
+                pltpu.make_async_copy(
+                    kc_ref.at[b, h, pl.ds(j * block_t, block_t), :],
+                    k_scr.at[slot], sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    vc_ref.at[b, h, pl.ds(j * block_t, block_t), :],
+                    v_scr.at[slot], sem.at[slot, 1],
+                ),
+            ]
+            if quant:
+                out += [
+                    pltpu.make_async_copy(
+                        ks_ref.at[b, h, :, pl.ds(j * block_t, block_t)],
+                        ks_scr.at[slot], sem.at[slot, 2],
+                    ),
+                    pltpu.make_async_copy(
+                        vs_ref.at[b, h, :, pl.ds(j * block_t, block_t)],
+                        vs_scr.at[slot], sem.at[slot, 3],
+                    ),
+                ]
+            return out
+
+        @pl.when(nb > 0)
+        def _():
+            for d in dmas(0, 0):
+                d.start()
+
+        def chunk(j, carry):
+            m, l, acc = carry
+            slot = j % 2
+
+            @pl.when(j + 1 < nb)
+            def _():
+                for d in dmas((j + 1) % 2, j + 1):
+                    d.start()
+
+            for d in dmas(slot, j):
+                d.wait()
+
+            kb = k_scr[slot]  # [bt, D] (int8 when quant)
+            vb = v_scr[slot]
+            if quant:
+                s = jax.lax.dot_general(
+                    q.astype(jnp.bfloat16), kb.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                ) * ks_scr[slot][0][None, :]  # k dequant deferred to columns
+            else:
+                s = jax.lax.dot_general(
+                    q, kb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            col = j * block_t + jax.lax.broadcasted_iota(jnp.int32, (r, block_t), 1)
+            s = jnp.where(col < length, s, _MASK)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            corr = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            if quant:
+                pv = (p * vs_scr[slot][0][None, :]).astype(jnp.bfloat16)
+                acc = acc * corr + jax.lax.dot_general(
+                    pv, vb.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                acc = acc * corr + jax.lax.dot_general(
+                    p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return m_new, l, acc
+
+        m, l, acc = jax.lax.fori_loop(0, nb, chunk, (m, l, acc))
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    return kernel
+
+
+# --------------------------------------------------------------------------
+# host-side wrappers
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret", "quant"))
+def _flash_call(
+    q_grouped,     # [B, Hkv, R, D] scale-folded
+    bias_rows,     # [B, R, S_new] f32 additive (0 / -1e30)
+    k_new, v_new,  # [B, Hkv, S_new, D] compute dtype
+    k_cache, v_cache,    # [B, Hkv, S_max, D] (int8 when quant)
+    lengths,       # [B] int32
+    k_scales, v_scales,  # [B, Hkv, 1, S_max] f32, or None
+    *, block_t: int, interpret: bool, quant: bool,
+):
+    bsz, hkv, r, d = q_grouped.shape
+    s_new = k_new.shape[2]
+    kv_dtype = k_cache.dtype
+
+    in_specs = [
+        pl.BlockSpec((1, 1, r, d), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, r, s_new), lambda b, h, L: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, s_new, d), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, s_new, d), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [q_grouped, bias_rows, k_new, v_new, k_cache, v_cache]
+    scratch = [
+        pltpu.VMEM((2, block_t, d), kv_dtype),
+        pltpu.VMEM((2, block_t, d), kv_dtype),
+    ]
+    n_sems = 2
+    if quant:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        args += [k_scales, v_scales]
+        scratch += [
+            pltpu.VMEM((2, 1, block_t), jnp.float32),
+            pltpu.VMEM((2, 1, block_t), jnp.float32),
+        ]
+        n_sems = 4
+    scratch.append(pltpu.SemaphoreType.DMA((2, n_sems)))
+
+    return pl.pallas_call(
+        _make_kernel(block_t, quant),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, hkv),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, r, d), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hkv, r, d), q_grouped.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, *args)
+
+
+def flash_decode_attention(
+    q: jax.Array,       # [B, Hq, S_new, D]
+    k_new: jax.Array,   # [B, Hkv, S_new, D]
+    v_new: jax.Array,
+    k_cache: jax.Array,  # [B, Hkv, S_max, D] — prefix; positions >= length ignored
+    v_cache: jax.Array,
+    length: jax.Array,   # int32 scalar or [B]
+    block_bias: jax.Array,  # [B, S_new, S_new] f32 additive (0 / -1e30)
+    *,
+    scale: float,
+    k_scales: Optional[jax.Array] = None,  # [B, Hkv, S_max] f32 (int8 cache)
+    v_scales: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns context [B, Hq, S_new, D] in q.dtype."""
+    bsz, hq, s_new, d = q.shape
+    hkv = k_cache.shape[1]
+    g = hq // hkv
+    s_max = k_cache.shape[2]
+    block_t = _pick_block_t(s_max)
+    assert block_t is not None, f"S_max={s_max} not divisible by 128"
+    quant = k_scales is not None
+    if os.environ.get("LLMSS_FLASH_INTERPRET") == "1":  # CPU test hook
+        interpret = True
+
+    lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1), (bsz,))
+
+    # group q rows per kv head and fold the softmax scale in
+    qg = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qg = qg.reshape(bsz, hkv, g * s_new, d)
+    r = g * s_new
+    r_pad = max(8, _round_up(r, 8))
+    if r_pad != r:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
+
+    bias_rows = jnp.tile(block_bias.astype(jnp.float32), (1, g, 1))
+    if r_pad != r:
+        bias_rows = jnp.pad(
+            bias_rows, ((0, 0), (0, r_pad - r), (0, 0)), constant_values=_MASK
+        )
+
+    ks = k_scales.reshape(bsz, hkv, 1, s_max) if quant else None
+    vs = v_scales.reshape(bsz, hkv, 1, s_max) if quant else None
+
+    out = _flash_call(
+        qg, bias_rows, k_new.astype(q.dtype), v_new.astype(q.dtype),
+        k_cache, v_cache, lengths, ks, vs,
+        block_t=block_t, interpret=interpret, quant=quant,
+    )
+    out = out[:, :, :r].reshape(bsz, hkv, g, s_new, d).reshape(bsz, hq, s_new, d)
+    return out
+
+
+def flash_decode_ref(
+    q, k_new, v_new, k_cache, v_cache, length, block_bias, *,
+    scale: float, k_scales=None, v_scales=None,
+):
+    """XLA reference with identical masking/accumulation semantics (used on
+    CPU and in parity tests)."""
+    bsz, hq, s_new, d = q.shape
+    hkv = k_cache.shape[1]
+    g = hq // hkv
+    s_max = k_cache.shape[2]
+    if k_scales is not None:
+        k_cache = k_cache.astype(jnp.float32) * k_scales[..., None]
+        v_cache = v_cache.astype(jnp.float32) * v_scales[..., None]
+    kc = k_cache.astype(jnp.float32)
+    vc = v_cache.astype(jnp.float32)
+    qg = q.reshape(bsz, hkv, g, s_new, d).astype(jnp.float32) * scale
+
+    s_pre = jnp.einsum("bhgsd,bhtd->bhgst", qg, kc)  # [B,Hkv,G,S_new,S_max]
+    col = jnp.arange(s_max)
+    lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1), (bsz,))
+    s_pre = jnp.where(
+        col[None, None, None, None, :] < lens.reshape(-1, 1, 1, 1, 1), s_pre, _MASK
+    )
+    s_blk = jnp.einsum("bhgsd,bhtd->bhgst", qg, k_new.astype(jnp.float32))
+    s_blk = s_blk + block_bias[:, None, None].astype(jnp.float32)
+
+    s_all = jnp.concatenate([s_pre, s_blk], axis=-1)
+    p = jax.nn.softmax(s_all, axis=-1)
+    v_all = jnp.concatenate([vc, v_new.astype(jnp.float32)], axis=2)
+    ctx = jnp.einsum("bhgst,bhtd->bhgsd", p, v_all)
+    return ctx.reshape(bsz, hq, s_new, d).astype(q.dtype)

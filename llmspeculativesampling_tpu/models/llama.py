@@ -30,11 +30,53 @@ from ..cache.kvcache import (
     layer_scan_slices,
     rebuild,
     update_and_read_layer,
+    write_layer,
+    write_layer_quant,
 )
 from ..core.config import LlamaConfig
+from ..kernels import flash_decode
 from .linear import linear, lm_head_logits
 
 _MASK_VALUE = -1e30
+
+
+def block_bias(s_new: int, tree_mask, batch: int) -> jax.Array:
+    """Additive [B, S_new, S_new] bias over the new-token block: causal by
+    default, or the tree mask (reference extra_attention_mask semantics,
+    modeling_llama.py:684-689)."""
+    if tree_mask is None:
+        causal = jnp.tril(jnp.ones((s_new, s_new), bool))
+        vis = jnp.broadcast_to(causal[None], (batch, s_new, s_new))
+    else:
+        vis = tree_mask.astype(bool)
+    return jnp.where(vis, 0.0, _MASK_VALUE).astype(jnp.float32)
+
+
+def flash_layer_attention(q, k, v, cache_slices, length, bias_blk, scale, dtype):
+    """One layer's attention via the length-aware Pallas kernel
+    (kernels/flash_decode.py). ``q``/``k``/``v``: [B, S, H, D] fresh
+    projections; writes the new block into the layer's cache slices and
+    attends over [0, length) + the new block without reading dead cache.
+    Returns (new_slices, ctx [B, S, hidden])."""
+    b, s = q.shape[0], q.shape[1]
+    kn = k.transpose(0, 2, 1, 3)
+    vn = v.transpose(0, 2, 1, 3)
+    qh = q.transpose(0, 2, 1, 3)
+    if len(cache_slices) == 4:
+        k_q_l, k_s_l, v_q_l, v_s_l = write_layer_quant(*cache_slices, length, kn, vn)
+        new_slices = (k_q_l, k_s_l, v_q_l, v_s_l)
+        ctx = flash_decode.flash_decode_attention(
+            qh, kn.astype(dtype), vn.astype(dtype), k_q_l, v_q_l, length,
+            bias_blk, scale=scale, k_scales=k_s_l, v_scales=v_s_l,
+        )
+    else:
+        k_l, v_l = write_layer(cache_slices[0], cache_slices[1], length, kn, vn)
+        new_slices = (k_l, v_l)
+        ctx = flash_decode.flash_decode_attention(
+            qh, kn.astype(dtype), vn.astype(dtype), k_l, v_l, length,
+            bias_blk, scale=scale,
+        )
+    return new_slices, ctx.transpose(0, 2, 1, 3).reshape(b, s, -1)
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
@@ -115,13 +157,18 @@ def forward(
         positions = cache.length + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
 
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
-    mask = attention_mask(cache.length, s, s_max, tree_mask, b)
-    # kv validity also applies per-position beyond the block (dead slots)
-    bias = jnp.where(mask, 0.0, _MASK_VALUE).astype(jnp.float32)[:, None]  # [B,1,S,S_max]
+    use_flash = flash_decode.should_use(s, s_max, cfg.head_dim)
+    if use_flash:
+        bias_blk = block_bias(s, tree_mask, b)  # [B, S, S]
+        bias = None
+    else:
+        mask = attention_mask(cache.length, s, s_max, tree_mask, b)
+        # kv validity also applies per-position beyond the block (dead slots)
+        bias = jnp.where(mask, 0.0, _MASK_VALUE).astype(jnp.float32)[:, None]  # [B,1,S,S_max]
 
     h = jnp.take(params["embed"], tokens, axis=0).astype(dtype)
     n_rep = cfg.num_heads // cfg.num_kv_heads
-    scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
+    scale = 1.0 / float(cfg.head_dim) ** 0.5
 
     def layer_fn(h, xs):
         lp, cache_slices = xs
@@ -132,19 +179,31 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        cache_slices, k_all, v_all = update_and_read_layer(
-            cache_slices, cache.length,
-            k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), dtype,
-        )
-        kk = jnp.repeat(k_all, n_rep, axis=1)  # [B, Hq, S_max, D]
-        vv = jnp.repeat(v_all, n_rep, axis=1)
+        if use_flash:
+            cache_slices, ctx = flash_layer_attention(
+                q, k, v, cache_slices, cache.length, bias_blk, scale, dtype
+            )
+            ctx = ctx.astype(dtype)
+        else:
+            cache_slices, k_all, v_all = update_and_read_layer(
+                cache_slices, cache.length,
+                k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), dtype,
+            )
 
-        qh = q.transpose(0, 2, 1, 3)  # [B, Hq, S, D]
-        scores = jnp.einsum("bhsd,bhtd->bhst", qh, kk, preferred_element_type=jnp.float32)
-        scores = scores * scale + bias
-        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        ctx = jnp.einsum("bhst,bhtd->bhsd", probs, vv, preferred_element_type=jnp.float32)
-        ctx = ctx.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
+            # GQA as a grouped einsum: q [B, H_kv, G, S, D] against the
+            # shared kv head — never materializes an Hq-repeated KV in HBM
+            # (the reference's repeat_kv, modeling_llama.py:225-234, does).
+            qh = q.transpose(0, 2, 1, 3).reshape(b, cfg.num_kv_heads, n_rep, s, cfg.head_dim)
+            scores = jnp.einsum(
+                "bhgsd,bhtd->bhgst", qh, k_all, preferred_element_type=jnp.float32
+            )
+            scores = scores * scale + bias[:, :, None]
+            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+            ctx = jnp.einsum(
+                "bhgst,bhtd->bhgsd", probs, v_all, preferred_element_type=jnp.float32
+            )
+            ctx = ctx.astype(dtype).reshape(b, cfg.num_heads, s, cfg.head_dim)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
         h = h + linear(ctx, lp["wo"])
 
         r = rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps)

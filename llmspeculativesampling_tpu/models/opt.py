@@ -28,8 +28,9 @@ from ..cache.kvcache import (
     update_and_read_layer,
 )
 from ..core.config import OPTConfig
+from ..kernels import flash_decode
 from .linear import linear, lm_head_logits
-from .llama import attention_mask
+from .llama import attention_mask, block_bias, flash_layer_attention
 
 _POS_OFFSET = 2  # OPT quirk: positional table rows 0/1 are reserved
 
@@ -56,8 +57,13 @@ def forward(
     if positions is None:
         positions = cache.length + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
 
-    mask = attention_mask(cache.length, s, cache.max_len, tree_mask, b)
-    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)[:, None]
+    use_flash = flash_decode.should_use(s, cache.max_len, cfg.head_dim)
+    if use_flash:
+        bias_blk = block_bias(s, tree_mask, b)
+        bias = None
+    else:
+        mask = attention_mask(cache.length, s, cache.max_len, tree_mask, b)
+        bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)[:, None]
 
     h = jnp.take(params["embed"], tokens, axis=0).astype(dtype)
     if "project_in" in params:
@@ -65,7 +71,7 @@ def forward(
     h = h + jnp.take(params["embed_pos"], positions + _POS_OFFSET, axis=0).astype(dtype)
 
     n_heads, head_dim = cfg.num_heads, cfg.head_dim
-    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    scale = 1.0 / float(head_dim) ** 0.5
 
     def layer_fn(h, xs):
         lp, cache_slices = xs
@@ -76,16 +82,22 @@ def forward(
         k = linear(r, lp["wk"], lp["bk"]).reshape(b, s, n_heads, head_dim)
         v = linear(r, lp["wv"], lp["bv"]).reshape(b, s, n_heads, head_dim)
 
-        cache_slices, k_all, v_all = update_and_read_layer(
-            cache_slices, cache.length,
-            k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), dtype,
-        )
-        qh = q.transpose(0, 2, 1, 3)
-        scores = jnp.einsum("bhsd,bhtd->bhst", qh, k_all, preferred_element_type=jnp.float32)
-        scores = scores * scale + bias
-        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        ctx = jnp.einsum("bhst,bhtd->bhsd", probs, v_all, preferred_element_type=jnp.float32)
-        ctx = ctx.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
+        if use_flash:
+            cache_slices, ctx = flash_layer_attention(
+                q, k, v, cache_slices, cache.length, bias_blk, scale, dtype
+            )
+            ctx = ctx.astype(dtype)
+        else:
+            cache_slices, k_all, v_all = update_and_read_layer(
+                cache_slices, cache.length,
+                k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), dtype,
+            )
+            qh = q.transpose(0, 2, 1, 3)
+            scores = jnp.einsum("bhsd,bhtd->bhst", qh, k_all, preferred_element_type=jnp.float32)
+            scores = scores * scale + bias
+            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+            ctx = jnp.einsum("bhst,bhtd->bhsd", probs, v_all, preferred_element_type=jnp.float32)
+            ctx = ctx.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
         h = residual + linear(ctx, lp["wo"], lp["bo"])
         if not cfg.do_layer_norm_before:
             h = layer_norm(h, lp["ln_attn_w"], lp["ln_attn_b"], cfg.layer_norm_eps)
