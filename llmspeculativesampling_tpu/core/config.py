@@ -34,6 +34,9 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     tie_embeddings: bool = False
     dtype: str = "bfloat16"
+    # flash-decode attention kernel: "auto" (TPU + worthwhile shapes),
+    # "on" (force), "off" (always XLA; e.g. under vmap-of-forward)
+    flash: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -63,6 +66,7 @@ class OPTConfig:
     do_layer_norm_before: bool = True
     layer_norm_eps: float = 1e-5
     dtype: str = "bfloat16"
+    flash: str = "auto"  # see LlamaConfig.flash
 
     @property
     def head_dim(self) -> int:

@@ -54,16 +54,17 @@ def _pick_block_t(s_max: int) -> Optional[int]:
     return None
 
 
-def should_use(s_new: int, s_max: int, head_dim: int) -> bool:
+def should_use(s_new: int, s_max: int, head_dim: int, mode: str = "auto") -> bool:
     """Trace-time gate: kernel for short new blocks (decode/verify/tree
     steps) over caches whose allocation divides a block size; XLA
-    everywhere else (prefill, CPU tests, odd shapes)."""
-    flag = os.environ.get("LLMSS_FLASH")
+    everywhere else (prefill, CPU tests, odd shapes). ``mode`` comes from
+    the model config (``cfg.flash``); the LLMSS_FLASH env var overrides."""
+    flag = os.environ.get("LLMSS_FLASH") or {"on": "1", "off": "0"}.get(mode)
     if flag == "0":
         return False
     bt = _pick_block_t(s_max)
     ok = s_new <= 32 and bt is not None and head_dim % 64 == 0
-    if flag == "1":  # forced (tests)
+    if flag == "1":  # forced (tests / cfg.flash="on")
         return ok
     # default: real TPU, and only when the cache is big enough to matter
     return ok and jax.default_backend() == "tpu" and s_max >= 2 * bt

@@ -97,12 +97,13 @@ def _int8_matmul_2d(
 
 
 def use_pallas() -> bool:
-    """Pallas on real TPU; XLA reference elsewhere (CPU tests)."""
-    if os.environ.get("LLMSS_FORCE_PALLAS") == "1":
-        return True
-    if os.environ.get("LLMSS_FORCE_PALLAS") == "0":
-        return False
-    return jax.default_backend() == "tpu"
+    """Default OFF: measured end-to-end on v5e, XLA's fused convert+dot
+    beats this kernel at decode shapes (413 vs 273 tok/s AR int8 — the
+    per-call overhead of ~113 pallas_calls/forward outweighs the DMA win;
+    scripts/exp_int8_dispatch.py). The kernel remains available for
+    explicit use (LLMSS_FORCE_PALLAS=1) and as the int8 building block the
+    flash-decode attention kernel shares its layout with."""
+    return os.environ.get("LLMSS_FORCE_PALLAS") == "1"
 
 
 def int8_matmul_ref(x: jax.Array, w_q: jax.Array, scale: jax.Array) -> jax.Array:

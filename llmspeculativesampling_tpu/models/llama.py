@@ -157,7 +157,7 @@ def forward(
         positions = cache.length + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
 
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
-    use_flash = flash_decode.should_use(s, s_max, cfg.head_dim)
+    use_flash = flash_decode.should_use(s, s_max, cfg.head_dim, cfg.flash)
     if use_flash:
         bias_blk = block_bias(s, tree_mask, b)  # [B, S, S]
         bias = None

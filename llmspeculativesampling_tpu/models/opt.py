@@ -57,7 +57,7 @@ def forward(
     if positions is None:
         positions = cache.length + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
 
-    use_flash = flash_decode.should_use(s, cache.max_len, cfg.head_dim)
+    use_flash = flash_decode.should_use(s, cache.max_len, cfg.head_dim, cfg.flash)
     if use_flash:
         bias_blk = block_bias(s, tree_mask, b)
         bias = None

@@ -204,6 +204,13 @@ class ContinuousBatchingEngine:
         seed: int = 0,
         prompt_bucket: int = 64,
     ):
+        # The batched step vmaps the model forward; Mosaic can't batch the
+        # flash-decode pallas_call (scalar-prefetch grid), so pin the XLA
+        # attention path for scheduler-owned forwards.
+        bundle_d = dataclasses.replace(
+            bundle_d, cfg=dataclasses.replace(bundle_d.cfg, flash="off"))
+        bundle_t = dataclasses.replace(
+            bundle_t, cfg=dataclasses.replace(bundle_t.cfg, flash="off"))
         self.bundle_d, self.params_d = bundle_d, params_d
         self.bundle_t, self.params_t = bundle_t, params_t
         self.num_slots = num_slots
