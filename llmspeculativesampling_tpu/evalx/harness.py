@@ -125,6 +125,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="beam_v2 hyperparameter sweep (evaluation.py:861-993)")
     p.add_argument("--score", action="store_true",
                    help="compute the target-logprob quality score (slow)")
+    p.add_argument("--profile_dir", default=None,
+                   help="emit a jax.profiler (xprof/tensorboard) trace of "
+                        "one prompt per method block (the reference's "
+                        "torch.profiler benchmark(), evaluate_chat.py:43-66)")
+    p.add_argument("--cache_dir", default=None,
+                   help="orbax one-time HF->JAX conversion cache root")
     return p
 
 
@@ -138,8 +144,16 @@ def _load_models(args):
     from ..models import opt as opt_mod
 
     fwd = {"llama": llama_mod.forward, "opt": opt_mod.forward}
-    fam_d, cfg_d, pd = load_pretrained(args.approx_model_name, args.dtype)
-    fam_t, cfg_t, pt = load_pretrained(args.target_model_name, args.dtype)
+
+    def cache_for(name):
+        if not args.cache_dir:
+            return None
+        return os.path.join(args.cache_dir, name.strip("/").replace("/", "--"))
+
+    fam_d, cfg_d, pd = load_pretrained(
+        args.approx_model_name, args.dtype, cache_dir=cache_for(args.approx_model_name))
+    fam_t, cfg_t, pt = load_pretrained(
+        args.target_model_name, args.dtype, cache_dir=cache_for(args.target_model_name))
     bd = ModelBundle(fam_d, cfg_d, fwd[fam_d])
     bt = ModelBundle(fam_t, cfg_t, fwd[fam_t])
 
@@ -227,7 +241,13 @@ def run_block(name, models, prompts_ids, prompt_texts, args, eos, log, **over) -
             log(f"  [{name}] wall budget hit after {i} prompts")
             break
         key, sub = jax.random.split(key)
-        out, d = fn(ids, sub, **over)
+        if i == 1 and args.profile_dir:  # prompt 0 pays compilation; trace #1
+            from ..utils.profiling import trace
+
+            with trace(os.path.join(args.profile_dir, name)):
+                out, d = fn(ids, sub, **over)
+        else:
+            out, d = fn(ids, sub, **over)
         outputs.append(np.asarray(out))
         prompt_lens.append(len(ids))
         total_tokens += d.get("tokens_generated", len(out) - len(ids))
