@@ -123,6 +123,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--sweep", action="store_true",
                    help="beam_v2 hyperparameter sweep (evaluation.py:861-993)")
+    p.add_argument("--sweep_bild", action="store_true",
+                   help="BiLD fallback/rollback threshold grid "
+                        "(experiment_multi.py:427-474)")
     p.add_argument("--score", action="store_true",
                    help="compute the target-logprob quality score (slow)")
     p.add_argument("--profile_dir", default=None,
@@ -188,10 +191,11 @@ def _method_fn(name: str, models, args, eos: int):
                                            args.max_tokens, gamma=args.gamma, **kw)
         if name == "bild":
             bp = ds_p.get("bild", {})
+            fb = kw.pop("fallback_thres", bp.get("fallback_thres", args.fallback_thres))
+            rb = kw.pop("rollback_thres", bp.get("rollback_thres", args.rollback_thres))
             return bild_generate(
                 bd, pd, bt, pt, prompt_ids, args.max_tokens, gamma=max(args.gamma, 10),
-                fallback_thres=bp.get("fallback_thres", args.fallback_thres),
-                rollback_thres=bp.get("rollback_thres", args.rollback_thres), **kw)
+                fallback_thres=fb, rollback_thres=rb, **kw)
         if name == "mjsd":
             return mjsd_generate(bd, pd, bt, pt, prompt_ids, args.max_tokens,
                                  gamma=args.gamma, width=args.width,
@@ -337,6 +341,16 @@ def evaluate(args) -> List[Dict]:
         m.strip() for m in args.methods.split(","))
     results = []
     for m in methods:
+        if m == "bild" and args.sweep_bild:
+            # reference grid: experiment_multi.py:427-474
+            for fb in (0.4, 0.6, 0.8, 0.9):
+                for rb in (1.0, 2.0, 5.0):
+                    r = run_block(m, models, prompts_ids, prompt_texts, args,
+                                  eos, log, fallback_thres=fb, rollback_thres=rb)
+                    add_quality(r, ds, tokenizer, models, args, log)
+                    results.append(r)
+                    log(json.dumps(r))
+            continue
         if m == "beam_v2" and args.sweep:
             # reference sweep grid (evaluation.py:861-908)
             for width in (2, 3, 4, 5):

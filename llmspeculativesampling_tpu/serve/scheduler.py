@@ -79,19 +79,23 @@ def _put_slot(cache_b, cache_s, slot):
 
 @partial(
     jax.jit,
-    static_argnames=("bundle_d", "bundle_t", "gamma", "scfg", "eos_token_id"),
+    static_argnames=("bundle_d", "bundle_t", "gamma", "scfg", "eos_token_id", "n_steps"),
 )
 def _batched_spec_step(
     params_d, params_t, state: BatchState, *,
     bundle_d: ModelBundle, bundle_t: ModelBundle,
-    gamma: int, scfg: SamplingConfig, eos_token_id: int,
+    gamma: int, scfg: SamplingConfig, eos_token_id: int, n_steps: int = 1,
 ) -> BatchState:
-    """One speculative decode step for every slot, in one XLA program."""
+    """``n_steps`` speculative decode steps for every slot, in one XLA
+    program. Chunking matters: every dispatch to the (possibly remote)
+    device costs a host round trip, so the host syncs scheduler metadata
+    once per chunk, not once per step. Lanes that finish mid-chunk freeze
+    via the ``keep`` gate and only waste their own compute."""
 
     def one(spec: SpecState, active, target_len):
         s2 = _spec_step(
-            bundle_d, bundle_t, params_d, params_t, scfg, gamma, eos_token_id,
-            spec, None,
+            bundle_d, bundle_t, params_d, params_t, scfg, gamma,
+            eos_token_id, spec, None,
         )
         keep = jnp.logical_and(active, jnp.logical_not(spec.done))
 
@@ -99,7 +103,7 @@ def _batched_spec_step(
             return jnp.where(keep, new, old)
 
         return SpecState(
-            tokens=s2.tokens,                      # garbage lanes are scratch
+            tokens=jnp.where(keep, s2.tokens, spec.tokens),
             cur_len=sel(s2.cur_len, spec.cur_len),
             draft_cache=s2.draft_cache,
             target_cache=s2.target_cache,
@@ -113,7 +117,10 @@ def _batched_spec_step(
             acc_len_hist=jnp.where(keep, s2.acc_len_hist, spec.acc_len_hist),
         )
 
-    spec = jax.vmap(one)(state.spec, state.active, state.target_len)
+    def chunk_step(_, spec):
+        return jax.vmap(one)(spec, state.active, state.target_len)
+
+    spec = jax.lax.fori_loop(0, n_steps, chunk_step, state.spec)
     return BatchState(spec, state.active, state.target_len)
 
 
@@ -203,6 +210,7 @@ class ContinuousBatchingEngine:
         top_p: float = 0.9,
         seed: int = 0,
         prompt_bucket: int = 64,
+        steps_per_sync: int = 4,
     ):
         # The batched step vmaps the model forward; Mosaic can't batch the
         # flash-decode pallas_call (scalar-prefetch grid), so pin the XLA
@@ -219,6 +227,9 @@ class ContinuousBatchingEngine:
         self.eos_token_id = eos_token_id
         self.scfg = SamplingConfig(temperature, top_k, top_p)
         self.prompt_bucket = prompt_bucket
+        # decode steps per host sync: each sync is a device round trip
+        # (expensive over remote tunnels); finished lanes freeze mid-chunk
+        self.steps_per_sync = max(1, int(steps_per_sync))
 
         s = num_slots
         key = jax.random.key(seed)
@@ -246,6 +257,9 @@ class ContinuousBatchingEngine:
         self._next_rid = 0
         self._pending: collections.deque[Request] = collections.deque()
         self._slot_req: list[Optional[Request]] = [None] * s
+        # occupancy generation per slot: stale pipelined metadata from a
+        # previous occupant must never harvest the current one
+        self._slot_gen: list[int] = [0] * s
         self.completions: dict[int, Completion] = {}
         self.max_new_cap = max_new_cap
 
@@ -283,58 +297,113 @@ class ContinuousBatchingEngine:
             )
             req.prefill_time = time.perf_counter()
             self._slot_req[slot] = req
+            self._slot_gen[slot] += 1
 
     def _collect(self):
         spec = self.state.spec
-        done = np.asarray(spec.done)
-        cur_len = np.asarray(spec.cur_len)
-        for slot, req in enumerate(self._slot_req):
-            if req is None or not done[slot]:
-                continue
+        # one transfer for the scheduling metadata, not one per field
+        done, cur_len = jax.device_get((spec.done, spec.cur_len))
+        self._harvest(np.asarray(done), np.asarray(cur_len), tuple(self._slot_gen))
+
+    def _harvest(self, done: np.ndarray, cur_len: np.ndarray, gens: tuple):
+        """Harvest finished slots given (possibly one-chunk-stale) metadata.
+        Staleness is safe for a still-occupied slot — a done lane is frozen
+        by the decode-step keep gate, so its result lanes read the same at
+        any later chunk — but metadata recorded under a previous occupancy
+        generation must not harvest the slot's new request."""
+        spec = self.state.spec
+        fin = [s for s, r in enumerate(self._slot_req)
+               if r is not None and done[s] and gens[s] == self._slot_gen[s]]
+        if not fin:
+            return
+        # one fixed-shape transfer for all result lanes (a few 10s of KB):
+        # shape-varying gathers would each compile a fresh tiny program,
+        # which is seconds per shape on a remote-compile backend.
+        toks_f, steps_f, hist_f, accr_f, acc_f, res_f, bon_f = jax.device_get((
+            spec.tokens, spec.steps, spec.acc_len_hist, spec.acc_rate_sum,
+            spec.accepted, spec.resamples, spec.bonus,
+        ))
+        for slot in fin:
+            i = slot
+            req = self._slot_req[slot]
             p_len = req.prompt.shape[0]
-            toks = np.asarray(spec.tokens[slot])
-            out = first_eos_truncate(toks, p_len, int(cur_len[slot]), self.eos_token_id)
-            steps = int(spec.steps[slot])
+            out = first_eos_truncate(toks_f[i], p_len, int(cur_len[slot]), self.eos_token_id)
+            steps = int(steps_f[i])
             drafted = steps * self.gamma
             now = time.perf_counter()
             details = {
                 "ttft_s": (req.prefill_time or now) - req.submit_time,
                 "latency_s": now - req.submit_time,
-                "acc_len": np.asarray(spec.acc_len_hist[slot])[:steps].tolist(),
-                "acc_rate": float(spec.acc_rate_sum[slot]) / max(drafted, 1),
+                "acc_len": np.asarray(hist_f[i])[:steps].tolist(),
+                "acc_rate": float(accr_f[i]) / max(drafted, 1),
                 "target_call_times": steps,
                 "approx_call_times": steps,
-                "accepted_count": int(spec.accepted[slot]),
-                "resample_count": int(spec.resamples[slot]),
-                "target_sample_count": int(spec.bonus[slot]),
+                "accepted_count": int(acc_f[i]),
+                "resample_count": int(res_f[i]),
+                "target_sample_count": int(bon_f[i]),
                 "tokens_generated": len(out) - p_len,
             }
             self.completions[req.rid] = Completion(req.rid, out, p_len, details)
             self._slot_req[slot] = None
             self.state = BatchState(
                 spec=spec,
-                active=self.state.active.at[slot].set(False),
+                # dynamic index -> one compiled scatter for every slot value
+                active=self.state.active.at[jnp.asarray(slot)].set(False),
                 target_len=self.state.target_len,
             )
             spec = self.state.spec
 
     def step(self) -> int:
-        """Admit + one batched decode step + harvest. Returns #live slots."""
+        """Admit + one decode chunk (``steps_per_sync`` batched steps in a
+        single dispatch) + harvest. Returns #live slots."""
         self._admit()
         if self.num_active:
             self.state = _batched_spec_step(
                 self.params_d, self.params_t, self.state,
                 bundle_d=self.bundle_d, bundle_t=self.bundle_t,
                 gamma=self.gamma, scfg=self.scfg, eos_token_id=self.eos_token_id,
+                n_steps=self.steps_per_sync,
             )
             self._collect()
         return self.num_active
 
     def run_until_idle(self, max_steps: int = 10_000):
+        """Drain the queue with a one-chunk-deep pipeline: dispatch chunk
+        k+1 BEFORE reading chunk k's metadata (whose host copy was started
+        asynchronously), so the device never waits on the host round trip.
+        Harvesting done lanes one chunk late is safe (see _harvest)."""
         steps = 0
-        while (self._pending or self.num_active) and steps < max_steps:
-            self.step()
-            steps += 1
+        inflight = None  # (done, cur_len) device arrays with async host copy
+        while steps < max_steps:
+            self._admit()
+            dispatched = False
+            if self.num_active:
+                self.state = _batched_spec_step(
+                    self.params_d, self.params_t, self.state,
+                    bundle_d=self.bundle_d, bundle_t=self.bundle_t,
+                    gamma=self.gamma, scfg=self.scfg,
+                    eos_token_id=self.eos_token_id,
+                    n_steps=self.steps_per_sync,
+                )
+                steps += 1
+                dispatched = True
+                spec = self.state.spec
+                try:
+                    spec.done.copy_to_host_async()
+                    spec.cur_len.copy_to_host_async()
+                except Exception:  # backend without async copies
+                    pass
+                new_inflight = (spec.done, spec.cur_len, tuple(self._slot_gen))
+            else:
+                new_inflight = None
+            if inflight is not None:
+                self._harvest(
+                    np.asarray(inflight[0]), np.asarray(inflight[1]), inflight[2]
+                )
+            inflight = new_inflight
+            if not dispatched and inflight is None and not self._pending \
+                    and not self.num_active:
+                break
         return steps
 
     def result(self, rid: int) -> Optional[Completion]:

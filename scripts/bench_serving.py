@@ -1,0 +1,94 @@
+"""Continuous-batching serving benchmark on one chip.
+
+Measures aggregate tokens/s and TTFT across concurrent requests for the
+slot-based SPMD scheduler (serve/scheduler.py), against sequential
+single-stream speculative decoding of the same request set (the
+reference's serving model: one request at a time, serving.py:29-38).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num_slots", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=24)
+    ap.add_argument("--prompt_len", type=int, default=64)
+    ap.add_argument("--max_new", type=int, default=64)
+    ap.add_argument("--gamma", type=int, default=4)
+    ap.add_argument("--steps_per_sync", type=int, default=4)
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--kv_int8", action="store_true",
+                    help="int8 KV cache on the target (halves verify KV reads)")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from bench import build_models
+    from llmspeculativesampling_tpu.engine.speculative import speculative_generate
+    from llmspeculativesampling_tpu.serve.scheduler import ContinuousBatchingEngine
+
+    print("device:", jax.devices()[0].device_kind, flush=True)
+    bd, pd, bt, pt = build_models(quantize=args.int8)
+    if args.kv_int8:
+        bt = dataclasses.replace(bt, kv_quant=True)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(100, 31000, args.prompt_len).astype(np.int32)
+               for _ in range(args.requests)]
+
+    # ---- continuous batching
+    eng = ContinuousBatchingEngine(
+        bd, pd, bt, pt, num_slots=args.num_slots, max_total_len=512,
+        max_new_cap=args.max_new, gamma=args.gamma, eos_token_id=2,
+        temperature=1.0, top_k=20, top_p=0.9,
+        steps_per_sync=args.steps_per_sync,
+    )
+    # warm every program shape: prefill bucket, decode chunk, and the
+    # per-slot admission paths (fill ALL slots once — on a remote-compile
+    # backend each distinct little program costs seconds the first time)
+    for p in prompts[: args.num_slots]:
+        eng.submit(p, 4)
+    eng.run_until_idle()
+    eng.completions.clear()
+
+    t0 = time.perf_counter()
+    for p in prompts:
+        eng.submit(p, args.max_new)
+    steps = eng.run_until_idle()
+    wall = time.perf_counter() - t0
+    comps = [eng.result(r) for r in sorted(eng.completions.keys())] if eng.completions else []
+    comps = [c for c in comps if c]
+    toks = sum(c.details["tokens_generated"] for c in comps)
+    ttfts = sorted(c.details["ttft_s"] for c in comps)
+    lats = sorted(c.details["latency_s"] for c in comps)
+    print(f"batched : slots={args.num_slots} reqs={len(comps)} steps={steps} "
+          f"tokens={toks} wall={wall:.2f}s -> {toks/wall:.1f} tok/s  "
+          f"ttft p50={ttfts[len(ttfts)//2]*1e3:.0f}ms p95={ttfts[int(len(ttfts)*0.95)]*1e3:.0f}ms  "
+          f"lat p50={lats[len(lats)//2]:.2f}s", flush=True)
+
+    # ---- sequential single-stream (reference serving model)
+    kw = dict(eos_token_id=2, temperature=1.0, top_k=20, top_p=0.9)
+    _ = speculative_generate(bd, pd, bt, pt, prompts[0], args.max_new,
+                             gamma=args.gamma, key=jax.random.key(0), **kw)
+    t0 = time.perf_counter()
+    toks_seq = 0
+    for i, p in enumerate(prompts):
+        out = speculative_generate(bd, pd, bt, pt, p, args.max_new,
+                                   gamma=args.gamma, key=jax.random.key(i), **kw)
+        toks_seq += len(out) - len(p)
+    wall_seq = time.perf_counter() - t0
+    print(f"sequential: tokens={toks_seq} wall={wall_seq:.2f}s -> "
+          f"{toks_seq/wall_seq:.1f} tok/s", flush=True)
+    print(f"speedup: {(toks/wall)/(toks_seq/wall_seq):.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,3 +129,18 @@ def test_validation_errors():
         assert False, "overlong request accepted"
     except ValueError:
         pass
+
+
+def test_chunked_sync_outputs_match_per_step_sync():
+    """steps_per_sync must not change results: a finished lane freezes
+    mid-chunk (keep gate), so chunked and per-step scheduling commit the
+    same tokens for the same seeds."""
+    outs = {}
+    for sps in (1, 3):
+        eng = _engine(steps_per_sync=sps, seed=7)
+        rids = [eng.submit(list(range(5, 25)), max_new_tokens=9),
+                eng.submit(list(range(30, 55)), max_new_tokens=14)]
+        eng.run_until_idle()
+        outs[sps] = [eng.result(r).output_ids for r in rids]
+    for a, b in zip(outs[1], outs[3]):
+        np.testing.assert_array_equal(a, b)
