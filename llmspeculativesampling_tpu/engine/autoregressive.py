@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..cache.kvcache import rollback
 from ..ops.sampling import SamplingConfig, dist_norm, dist_sample
-from .types import ModelBundle, first_eos_truncate, pad_prompt
+from .types import aligned_total, ModelBundle, first_eos_truncate, pad_prompt
 
 
 @partial(
@@ -94,7 +94,7 @@ def autoregressive_generate(
     scfg = SamplingConfig(temperature, top_k, top_p)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)
-    max_total = prompt_padded.shape[1] + max_new_tokens
+    max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens)
 
     t0 = time.perf_counter()
     tokens, cur_len = _ar_generate_device(

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..cache.kvcache import rollback, select_rows
 from ..ops.sampling import SamplingConfig, max_fn, norm_logits, sample
 from .beam_draft import beam_draft, top_width
-from .types import ModelBundle, first_eos_truncate, pad_prompt
+from .types import aligned_total, ModelBundle, first_eos_truncate, pad_prompt
 
 
 def _leading_accept(key, p_sel, q_sel):
@@ -190,7 +190,7 @@ def _run(
     prompt_padded, p_len = pad_prompt(prompt)
     if p_len < 2:
         raise ValueError("prompt must have at least 2 tokens")
-    max_total = prompt_padded.shape[1] + max_new_tokens + gamma + 1
+    max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + gamma + 1)
 
     t0 = time.perf_counter()
     tokens, cur_len, accepted, steps, rate_sum, rate_cnt = _beam_spec_device(

@@ -50,7 +50,7 @@ from ..cache.kvcache import KVCache, compact_tree_paths, rollback, select_rows
 from ..ops.dp import acceptance_alphas, get_expect_cnt_by_thres, num_accept_distribution
 from ..ops.sampling import SamplingConfig, max_fn, norm_logits, sample, sample_k
 from .beam_draft import beam_draft
-from .types import ModelBundle, pad_prompt
+from .types import aligned_total, ModelBundle, pad_prompt
 
 _NEG = -1e30
 
@@ -545,7 +545,7 @@ def _run_tree(
     prompt_padded, p_len = pad_prompt(prompt)
     if p_len < 2:
         raise ValueError("prompt must have at least 2 tokens")
-    max_total = prompt_padded.shape[1] + max_new_tokens + gamma + num_beams * gamma + 2
+    max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + gamma + num_beams * gamma + 2)
 
     r_slots = num_beams if mode == "v1" else max(extra_sample_cnt, 1)
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..cache.kvcache import rollback
 from ..ops.sampling import SamplingConfig, norm_logits, sample
-from .types import ModelBundle, first_eos_truncate, pad_prompt
+from .types import aligned_total, ModelBundle, first_eos_truncate, pad_prompt
 
 
 @partial(
@@ -168,7 +168,7 @@ def bild_generate(
     scfg = SamplingConfig(temperature, top_k, top_p)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)
-    max_total = prompt_padded.shape[1] + max_new_tokens + 2
+    max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + 2)
 
     t0 = time.perf_counter()
     tokens, cur_len, acc_sum, check_cnt, small_cnt = _bild_device(

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..cache.kvcache import rollback, select_rows
 from ..ops.sampling import SamplingConfig, norm_logits, sample_k
-from .types import ModelBundle, pad_prompt
+from .types import aligned_total, ModelBundle, pad_prompt
 
 _DEAD = -1e30
 _DONE_THRES = -10000.0
@@ -153,7 +153,7 @@ def random_width_beam_generate(
     scfg = SamplingConfig(temperature, top_k, top_p)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)
-    max_total = prompt_padded.shape[1] + max_new_tokens + 1
+    max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + 1)
 
     t0 = time.perf_counter()
     tokens, out_len = _random_beam_device(

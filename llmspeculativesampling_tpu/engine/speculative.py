@@ -46,7 +46,7 @@ from ..ops.sampling import (
     dist_sample,
     dist_take,
 )
-from .types import ModelBundle, first_eos_truncate, pad_prompt
+from .types import aligned_total, ModelBundle, first_eos_truncate, pad_prompt
 
 
 class SpecState(NamedTuple):
@@ -261,7 +261,7 @@ def speculative_generate(
     prompt_padded, p_len = pad_prompt(prompt)
     if p_len < 2:
         raise ValueError("prompt must have at least 2 tokens")
-    max_total = prompt_padded.shape[1] + max_new_tokens + gamma + 1
+    max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + gamma + 1)
 
     fixed_r = None
     if random_seed is not None:

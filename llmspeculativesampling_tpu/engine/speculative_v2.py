@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.sampling import SamplingConfig, norm_logits, sample
 from .speculative import accept_phase
-from .types import ModelBundle, first_eos_truncate, pad_prompt
+from .types import aligned_total, ModelBundle, first_eos_truncate, pad_prompt
 
 
 @partial(
@@ -122,7 +122,7 @@ def speculative_generate_v2(
     scfg = SamplingConfig(temperature, top_k, top_p)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)
-    max_total = prompt_padded.shape[1] + max_new_tokens + gamma + 1
+    max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + gamma + 1)
 
     t0 = time.perf_counter()
     tokens, cur_len, accepted, steps = _spec_v2_device(

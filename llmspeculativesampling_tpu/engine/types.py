@@ -34,6 +34,16 @@ class ModelBundle:
         )
 
 
+def aligned_total(n: int, multiple: int = 128) -> int:
+    """Round a cache allocation up to an XLA-tile / flash-chunk multiple.
+
+    Keeps decode-attention shapes tile-aligned and lets the length-aware
+    flash kernel (kernels/flash_decode.py) engage (it needs S_max % 128
+    == 0); a few extra dead slots cost nothing since attention over them
+    is masked (XLA path) or never fetched (flash path)."""
+    return -(-n // multiple) * multiple
+
+
 def pad_prompt(prompt, bucket_multiple: int = 64):
     """Host-side: right-pad a [P] (or [1,P]) id list to a static bucket.
 
