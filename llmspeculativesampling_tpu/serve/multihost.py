@@ -1,0 +1,148 @@
+"""Multi-host SPMD serving driver (SURVEY.md §7.3 "multi-host serving").
+
+Under ``jax.distributed`` every process must execute the same jitted
+programs in the same order (SPMD) — but requests arrive at one host. This
+driver keeps the ``ContinuousBatchingEngine`` in lockstep across hosts:
+
+  * host 0 owns the request queue and decides each round's *plan*: which
+    requests enter which slots (fixed-size, padded arrays so the broadcast
+    shape is static), then how many decode chunks to run;
+  * the plan is replicated with ``multihost_utils.broadcast_one_to_all``
+    (a psum over DCN under the hood), after which every process issues the
+    identical `_prefill_slot` / `_batched_spec_step` sequence;
+  * results are identical on all hosts (same programs, same replicated
+    state); host 0 is the one that answers clients.
+
+Single-process runs broadcast trivially, so the whole path is exercised by
+the CPU test suite; a real pod slice only changes where the params/caches
+live (shard them with ``parallel.sharding`` before building the engine).
+
+The reference has no distributed serving at all (blocking batch-1 Flask,
+/root/reference/serving.py:15-61).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+
+from ..engine.types import pad_prompt
+from .scheduler import ContinuousBatchingEngine, Request
+
+
+def _broadcast(tree):
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return tree
+    return multihost_utils.broadcast_one_to_all(tree)
+
+
+class MultiHostDriver:
+    """Lockstep wrapper around a ``ContinuousBatchingEngine``.
+
+    Only host 0 may call :meth:`submit`. Every host calls :meth:`round`
+    at the same cadence (e.g. from the same serving loop).
+    """
+
+    def __init__(self, engine: ContinuousBatchingEngine, prompt_cap: int = 512):
+        self.engine = engine
+        self.prompt_cap = prompt_cap
+        self.is_primary = jax.process_index() == 0
+
+    def submit(self, prompt_ids, max_new_tokens: int = 40) -> int:
+        assert self.is_primary, "only host 0 owns the request queue"
+        ids = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if ids.shape[0] > self.prompt_cap:
+            raise ValueError(f"prompt longer than prompt_cap={self.prompt_cap}")
+        return self.engine.submit(ids, max_new_tokens)
+
+    def _build_plan(self):
+        """Host 0: admission plan as fixed-shape arrays.
+
+        Returns (slots [S], p_lens [S], max_new [S], prompts [S, cap]) with
+        slot == -1 marking unused entries; mirrors engine._admit's policy.
+        """
+        eng = self.engine
+        s = eng.num_slots
+        slots = np.full((s,), -1, np.int32)
+        p_lens = np.zeros((s,), np.int32)
+        max_new = np.zeros((s,), np.int32)
+        prompts = np.zeros((s, self.prompt_cap), np.int32)
+        if self.is_primary:
+            free = [i for i, r in enumerate(eng._slot_req) if r is None]
+            j = 0
+            while free and eng._pending:
+                slot = free.pop(0)
+                req = eng._pending.popleft()
+                slots[j] = slot
+                p_lens[j] = req.prompt.shape[0]
+                max_new[j] = req.max_new_tokens
+                prompts[j, : req.prompt.shape[0]] = req.prompt
+                self._planned.append((slot, req))
+                j += 1
+        return slots, p_lens, max_new, prompts
+
+    def round(self, chunks: int = 1) -> int:
+        """One lockstep scheduling round: broadcast admissions, prefill
+        them identically everywhere, run ``chunks`` decode chunks, harvest
+        on host 0. Returns the number of live slots (host-0 view)."""
+        import time as _time
+
+        eng = self.engine
+        self._planned: list = []
+        slots, p_lens, max_new, prompts = _broadcast(self._build_plan())
+        for j in range(eng.num_slots):
+            slot = int(slots[j])
+            if slot < 0:
+                continue
+            p = np.asarray(prompts[j][: int(p_lens[j])], np.int32)
+            padded, p_len = pad_prompt(p, eng.prompt_bucket)
+            eng._admit_key, sub = jax.random.split(eng._admit_key)
+            from .scheduler import _prefill_slot
+
+            eng.state = _prefill_slot(
+                eng.params_d, eng.params_t, eng.state, slot,
+                jax.numpy.asarray(padded), p_len, int(max_new[j]), sub,
+                bundle_d=eng.bundle_d, bundle_t=eng.bundle_t,
+            )
+            if self.is_primary:
+                # host 0 re-attaches its queue bookkeeping
+                _, req = self._planned.pop(0)
+                req.prefill_time = _time.perf_counter()
+                eng._slot_req[slot] = req
+                eng._slot_gen[slot] += 1
+            else:
+                # non-primary hosts track occupancy with placeholder reqs
+                eng._slot_req[slot] = Request(
+                    rid=-1, prompt=p, max_new_tokens=int(max_new[j]),
+                    submit_time=_time.perf_counter(),
+                )
+                eng._slot_gen[slot] += 1
+
+        from .scheduler import _batched_spec_step
+
+        n_live = sum(r is not None for r in eng._slot_req)
+        if n_live:
+            for _ in range(chunks):
+                eng.state = _batched_spec_step(
+                    eng.params_d, eng.params_t, eng.state,
+                    bundle_d=eng.bundle_d, bundle_t=eng.bundle_t,
+                    gamma=eng.gamma, scfg=eng.scfg,
+                    eos_token_id=eng.eos_token_id,
+                    n_steps=eng.steps_per_sync,
+                )
+            eng._collect()
+        return eng.num_active
+
+    def run_until_idle(self, max_rounds: int = 10_000) -> int:
+        rounds = 0
+        while (self.engine._pending or self.engine.num_active) and rounds < max_rounds:
+            self.round()
+            rounds += 1
+        return rounds
+
+    def result(self, rid: int):
+        return self.engine.result(rid)

@@ -127,3 +127,31 @@ def test_model_forward_flash_matches_xla(monkeypatch):
     monkeypatch.setenv("LLMSS_FLASH_INTERPRET", "1")
     lg1f, _ = llama.forward(params, cfg, toks_dec, c0)
     np.testing.assert_allclose(np.asarray(lg1f), np.asarray(lg1), rtol=5e-3, atol=5e-3)
+
+
+def test_opt_forward_flash_matches_xla(monkeypatch):
+    """Same as the Llama check but through models/opt.py (biases, learned
+    positions) — the kernel is shared via flash_layer_attention."""
+    from llmspeculativesampling_tpu.cache.kvcache import init_cache
+    from llmspeculativesampling_tpu.core.config import OPTConfig
+    from llmspeculativesampling_tpu.models import opt
+
+    cfg = OPTConfig(
+        vocab_size=128, hidden_size=128, ffn_dim=256, num_layers=2,
+        num_heads=2, max_position=512, dtype="float32",
+    )
+    params = opt.init_params(cfg, jax.random.key(0))
+    toks_prefill = jnp.arange(40, dtype=jnp.int32).reshape(1, 40) % 120
+    toks_dec = jnp.asarray([[7, 9, 11]], jnp.int32)
+
+    def fresh():
+        return init_cache(2, 1, 2, 256, 64, jnp.float32)
+
+    monkeypatch.setenv("LLMSS_FLASH", "0")
+    lg0, c0 = opt.forward(params, cfg, toks_prefill, fresh())
+    lg1, _ = opt.forward(params, cfg, toks_dec, c0)
+
+    monkeypatch.setenv("LLMSS_FLASH", "1")
+    monkeypatch.setenv("LLMSS_FLASH_INTERPRET", "1")
+    lg1f, _ = opt.forward(params, cfg, toks_dec, c0)
+    np.testing.assert_allclose(np.asarray(lg1f), np.asarray(lg1), rtol=5e-3, atol=5e-3)

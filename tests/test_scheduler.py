@@ -144,3 +144,21 @@ def test_chunked_sync_outputs_match_per_step_sync():
         outs[sps] = [eng.result(r).output_ids for r in rids]
     for a, b in zip(outs[1], outs[3]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_multihost_driver_single_process_lockstep():
+    """MultiHostDriver runs the same admissions/decode path (broadcast is
+    a no-op at process_count==1) and completes requests like the engine."""
+    from llmspeculativesampling_tpu.serve.multihost import MultiHostDriver
+
+    eng = _engine(num_slots=2, seed=3)
+    drv = MultiHostDriver(eng, prompt_cap=64)
+    rids = [drv.submit(list(range(5, 25)), max_new_tokens=7),
+            drv.submit(list(range(30, 50)), max_new_tokens=5),
+            drv.submit(list(range(60, 75)), max_new_tokens=6)]
+    drv.run_until_idle()
+    for rid, want in zip(rids, (7, 5, 6)):
+        c = drv.result(rid)
+        assert c is not None
+        gen = len(c.output_ids) - c.prompt_len
+        assert want <= gen <= want + eng.gamma
