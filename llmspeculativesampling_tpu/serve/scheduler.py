@@ -378,12 +378,15 @@ class ContinuousBatchingEngine:
             self._admit()
             dispatched = False
             if self.num_active:
+                # no queue pressure -> nothing to admit soon -> deepen the
+                # chunk (fewer dispatches; only 2 program shapes exist)
+                n = self.steps_per_sync if self._pending else 4 * self.steps_per_sync
                 self.state = _batched_spec_step(
                     self.params_d, self.params_t, self.state,
                     bundle_d=self.bundle_d, bundle_t=self.bundle_t,
                     gamma=self.gamma, scfg=self.scfg,
                     eos_token_id=self.eos_token_id,
-                    n_steps=self.steps_per_sync,
+                    n_steps=n,
                 )
                 steps += 1
                 dispatched = True
