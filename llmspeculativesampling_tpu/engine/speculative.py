@@ -32,6 +32,7 @@ import time
 from functools import partial
 from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -233,6 +234,97 @@ def _spec_generate_device(
     return state
 
 
+@partial(jax.jit, static_argnames=("bundle", "scfg", "gamma"))
+def _draft_jit(params, tokens, cur_len, cache, key, *, bundle, scfg, gamma):
+    return draft_phase(bundle, params, scfg, gamma, tokens, cur_len, cache, key)
+
+
+@partial(jax.jit, static_argnames=("bundle", "scfg", "gamma"))
+def _verify_jit(params, tokens, cur_len, cache, *, bundle, scfg, gamma):
+    return verify_phase(bundle, params, scfg, gamma, tokens, cur_len, cache)
+
+
+@partial(jax.jit, static_argnames=("scfg", "gamma", "eos_token_id"))
+def _accept_jit(tokens, cur_len, q_stack, drafts, p_stack, key, fixed_r, *,
+                scfg, gamma, eos_token_id):
+    return accept_phase(
+        scfg, gamma, eos_token_id, tokens, cur_len, q_stack, drafts, p_stack,
+        key, fixed_r,
+    )
+
+
+def _spec_generate_stepwise(
+    bundle_d, params_d, bundle_t, params_t, prompt_padded, p_len,
+    max_new_tokens, gamma, scfg, eos_token_id, max_total, key,
+    random_seed, details,
+):
+    """Host-stepped diagnostic variant with the reference's phase timers."""
+    fixed_r = None
+    if random_seed is not None:
+        fixed_r = jnp.broadcast_to(
+            jax.random.uniform(jax.random.key(random_seed), ()), (gamma,))
+
+    draft_cache = bundle_d.make_cache(1, max_total)
+    target_cache = bundle_t.make_cache(1, max_total)
+    tokens = jnp.zeros((1, max_total), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, jnp.asarray(prompt_padded), (0, 0))
+
+    t0 = time.perf_counter()
+    _, draft_cache = bundle_d.forward(params_d, bundle_d.cfg, jnp.asarray(prompt_padded), draft_cache)
+    _, target_cache = bundle_t.forward(params_t, bundle_t.cfg, jnp.asarray(prompt_padded), target_cache)
+    jax.block_until_ready((draft_cache.length, target_cache.length))
+
+    cur_len = jnp.asarray(p_len, jnp.int32)
+    total = p_len + max_new_tokens
+    approx_t = target_t = 0.0
+    acc_len, acc_rate_sum, steps = [], 0.0, 0
+
+    while int(cur_len) < total:
+        ta = time.perf_counter()
+        tokens, draft_cache, q_stack, drafts, key = _draft_jit(
+            params_d, tokens, cur_len, draft_cache, key,
+            bundle=bundle_d, scfg=scfg, gamma=gamma)
+        jax.block_until_ready(drafts)
+        tb = time.perf_counter()
+        p_stack, target_cache = _verify_jit(
+            params_t, tokens, cur_len, target_cache,
+            bundle=bundle_t, scfg=scfg, gamma=gamma)
+        jax.block_until_ready(target_cache.length)
+        tc = time.perf_counter()
+        tokens, cur_len, _, n, _, acc_step, key = _accept_jit(
+            tokens, cur_len, q_stack, drafts, p_stack, key, fixed_r,
+            scfg=scfg, gamma=gamma, eos_token_id=eos_token_id)
+        approx_t += tb - ta
+        target_t += tc - tb
+        steps += 1
+        acc_len.append(int(n))
+        acc_rate_sum += float(acc_step)
+        # host EOS check over the committed window (diagnostic mode syncs anyway)
+        window = np.asarray(jax.lax.dynamic_slice(
+            tokens, (0, cur_len - (int(n) + 1)), (1, gamma + 1)))[0]
+        if eos_token_id in window[: int(n) + 1]:
+            break
+    wall = time.perf_counter() - t0
+
+    out = first_eos_truncate(np.asarray(tokens), p_len, int(cur_len), eos_token_id)
+    if not details:
+        return out
+    drafted = steps * gamma
+    d = {
+        "total_time": wall,
+        "approx_time": approx_t,
+        "target_time": target_t,
+        "other_time": wall - approx_t - target_t,
+        "acc_len": acc_len,
+        "acc_rate": acc_rate_sum / max(drafted, 1),
+        "target_call_times": steps,
+        "approx_call_times": steps,
+        "tokens_generated": len(out) - p_len,
+        "tokens_per_s": (len(out) - p_len) / wall if wall > 0 else float("nan"),
+    }
+    return out, d
+
+
 def speculative_generate(
     bundle_d: ModelBundle,
     params_d,
@@ -250,11 +342,19 @@ def speculative_generate(
     key: Optional[jax.Array] = None,
     random_seed: Optional[int] = None,
     details: bool = False,
+    stepwise: bool = False,
 ):
     """Speculative sampling with KV rollback — reference
     ``speculative_sampling`` equivalent. Returns numpy int32 [T] (prompt
     included, truncated at first generated EOS); with ``details=True`` also
-    a dict with the reference's schema (SURVEY.md §2.1)."""
+    a dict with the reference's schema (SURVEY.md §2.1).
+
+    ``stepwise=True`` runs the outer token loop on the host with the
+    draft/verify/accept phases as separate synchronized dispatches, filling
+    the reference's approx/target/other phase-time split
+    (speculative_sampling.py:1937-1962, 2061-2074) at the cost of per-phase
+    host round trips — a diagnostic mode; the fused program is the fast
+    path."""
     del pad_token_id
     scfg = SamplingConfig(temperature, top_k, top_p)
     key = key if key is not None else jax.random.key(0)
@@ -262,6 +362,12 @@ def speculative_generate(
     if p_len < 2:
         raise ValueError("prompt must have at least 2 tokens")
     max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + gamma + 1)
+    if stepwise:
+        return _spec_generate_stepwise(
+            bundle_d, params_d, bundle_t, params_t, prompt_padded, p_len,
+            max_new_tokens, gamma, scfg, eos_token_id, max_total, key,
+            random_seed, details,
+        )
 
     fixed_r = None
     if random_seed is not None:

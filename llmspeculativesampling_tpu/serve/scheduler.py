@@ -264,6 +264,20 @@ class ContinuousBatchingEngine:
         self.max_new_cap = max_new_cap
 
     # ------------------------------------------------------------ interface
+    def warmup(self, prompt_len: int = 8) -> None:
+        """Pre-compile every steady-state program: the prefill bucket for
+        ``prompt_len``, per-slot admission, and the decode chunk. On
+        backends with remote compilation each distinct program costs
+        seconds the first time — never pay that on a live request."""
+        rng = np.random.default_rng(0)
+        rids = [
+            self.submit(rng.integers(2, 100, size=max(prompt_len, 2)), 2)
+            for _ in range(self.num_slots + 1)
+        ]
+        self.run_until_idle()
+        for r in rids:
+            self.completions.pop(r, None)
+
     def submit(self, prompt_ids, max_new_tokens: int = 40) -> int:
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
         if ids.shape[0] < 2:
@@ -378,15 +392,12 @@ class ContinuousBatchingEngine:
             self._admit()
             dispatched = False
             if self.num_active:
-                # no queue pressure -> nothing to admit soon -> deepen the
-                # chunk (fewer dispatches; only 2 program shapes exist)
-                n = self.steps_per_sync if self._pending else 4 * self.steps_per_sync
                 self.state = _batched_spec_step(
                     self.params_d, self.params_t, self.state,
                     bundle_d=self.bundle_d, bundle_t=self.bundle_t,
                     gamma=self.gamma, scfg=self.scfg,
                     eos_token_id=self.eos_token_id,
-                    n_steps=n,
+                    n_steps=self.steps_per_sync,
                 )
                 steps += 1
                 dispatched = True

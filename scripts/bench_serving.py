@@ -51,13 +51,7 @@ def main():
         temperature=1.0, top_k=20, top_p=0.9,
         steps_per_sync=args.steps_per_sync,
     )
-    # warm every program shape: prefill bucket, decode chunk, and the
-    # per-slot admission paths (fill ALL slots once — on a remote-compile
-    # backend each distinct little program costs seconds the first time)
-    for p in prompts[: args.num_slots]:
-        eng.submit(p, 4)
-    eng.run_until_idle()
-    eng.completions.clear()
+    eng.warmup(prompt_len=args.prompt_len)
 
     t0 = time.perf_counter()
     for p in prompts:

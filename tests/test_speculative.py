@@ -191,3 +191,19 @@ def test_random_seed_reproducibility(models):
         top_k=10, key=jax.random.key(5), random_seed=42,
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_stepwise_mode_matches_fused_and_reports_phases(models):
+    """stepwise=True (host-stepped diagnostic) must produce the same tokens
+    as the fused program for the same key, and fill the reference's
+    approx/target/other phase-time split (speculative_sampling.py:2061-2074)."""
+    bd, pd, bt, pt = models
+    prompt = list(range(5, 25))
+    kw = dict(gamma=3, eos_token_id=-1, temperature=1.0, top_k=10, top_p=0.9,
+              key=jax.random.key(11), details=True)
+    out_f, d_f = speculative_generate(bd, pd, bt, pt, prompt, 12, **kw)
+    out_s, d_s = speculative_generate(bd, pd, bt, pt, prompt, 12, stepwise=True, **kw)
+    np.testing.assert_array_equal(out_f, out_s)
+    assert d_s["approx_time"] > 0 and d_s["target_time"] > 0
+    assert d_s["acc_len"] == list(d_f["acc_len"])
+    assert abs(d_s["acc_rate"] - d_f["acc_rate"]) < 1e-5
