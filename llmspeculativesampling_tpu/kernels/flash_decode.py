@@ -54,16 +54,24 @@ def _pick_block_t(s_max: int) -> Optional[int]:
     return None
 
 
-def should_use(s_new: int, s_max: int, head_dim: int, mode: str = "auto") -> bool:
+def should_use(
+    s_new: int, s_max: int, head_dim: int, mode: str = "auto",
+    quant: bool = False,
+) -> bool:
     """Trace-time gate: kernel for short new blocks (decode/verify/tree
     steps) over caches whose allocation divides a block size; XLA
     everywhere else (prefill, CPU tests, odd shapes). ``mode`` comes from
-    the model config (``cfg.flash``); the LLMSS_FLASH env var overrides."""
+    the model config (``cfg.flash``); the LLMSS_FLASH env var overrides.
+
+    head_dim: multiples of 128 run natively; sub-128 divisors of 128
+    (64) run via the lane-folded path (dense and int8)."""
+    del quant  # both paths support int8 KV
     flag = os.environ.get("LLMSS_FLASH") or {"on": "1", "off": "0"}.get(mode)
     if flag == "0":
         return False
     bt = _pick_block_t(s_max)
-    ok = s_new <= 32 and bt is not None and head_dim % 64 == 0
+    dim_ok = head_dim % 128 == 0 or 128 % head_dim == 0
+    ok = s_new <= 32 and bt is not None and dim_ok
     if flag == "1":  # forced (tests / cfg.flash="on")
         return ok
     # default: real TPU, and only when the cache is big enough to matter
@@ -75,7 +83,7 @@ def should_use(s_new: int, s_max: int, head_dim: int, mode: str = "auto") -> boo
 # --------------------------------------------------------------------------
 
 
-def _make_kernel(block_t: int, quant: bool):
+def _make_kernel(block_t: int, quant: bool, head_dim: int, folded: bool):
     def kernel(
         len_ref, q_ref, bias_ref, knew_ref, vnew_ref, kc_ref, vc_ref,
         *rest,
@@ -93,35 +101,91 @@ def _make_kernel(block_t: int, quant: bool):
         q = q_ref[0, 0]  # [R, D], softmax scale pre-folded
         r = q.shape[0]
 
-        # ---- new block (resident in VMEM; carries the causal/tree bias)
-        kn = knew_ref[0, 0]  # [S_new, D]
+        # Folded (sub-128 head_dim) layout: K/V chunks arrive as
+        # [bt/f, 128] with f = 128//D positions per row, position i*f+p in
+        # lanes [p*D,(p+1)*D). Mosaic supports neither the unfolding
+        # reshape nor strided lane slices, so all compute stays in the
+        # folded space via selection-matrix dots:
+        #   q_parts[p] = q @ Ep^T   places q in part-p lanes -> [r, 128]
+        #   s_p  = q_parts[p] @ kb^T  scores of part-p positions [r, bt/f]
+        #   A_p += p_p @ vb           folded context accumulators [r, 128]
+        #   out  = sum_p A_p @ Ep     unfold once after the loop  [r, D]
+        # (Ep = rows [p*D,(p+1)*D) of I_128; exact in any dtype.)
+        f = 128 // head_dim if folded else 1
+        if folded:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (head_dim, 128), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (head_dim, 128), 1)
+            eps_t = [
+                (cols == rows + p * head_dim).astype(jnp.float32)
+                for p in range(f)
+            ]  # Ep^T: [D, 128]
+
+        # ---- new block (resident in VMEM; carries the causal/tree bias).
+        # All-f32: the block is tiny ([r, S_new] vs the block_t-sized chunk
+        # loop) and bf16 dots with a 1-sized contraction/result dim lower to
+        # an invalid mixed-type vector.broadcast in Mosaic (s_new=1 decode).
+        kn = knew_ref[0, 0].astype(jnp.float32)  # [S_new, D]
         vn = vnew_ref[0, 0]
         s_new = jax.lax.dot_general(
-            q, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q.astype(jnp.float32), kn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ) + bias_ref[0]
         m = jnp.maximum(jnp.max(s_new, axis=-1, keepdims=True), _MASK)
         p = jnp.exp(s_new - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
+        # f32 on both sides: the block is tiny ([r, S_new] x [S_new, D]) and
+        # a bf16 [r,1]x[1,D] dot trips a Mosaic broadcast verifier bug
         acc = jax.lax.dot_general(
-            p.astype(vn.dtype), vn, (((1,), (0,)), ((), ())),
+            p, vn.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if folded:
+            # park the new-block context in part-0 lanes; the final
+            # unfold A_0 @ E0 recovers it exactly (E0^T E0 = I_D)
+            accs = [
+                jax.lax.dot_general(
+                    acc, eps_t[0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            ] + [jnp.zeros((r, 128), jnp.float32) for _ in range(f - 1)]
+        else:
+            accs = [acc]
 
         # ---- prefix chunks: double-buffered DMA, fetched only up to length
         nb = pl.cdiv(length, block_t)
 
+        # chunk j covers positions [j*bt, (j+1)*bt); in the folded layout
+        # those occupy rows [j*cr, (j+1)*cr) of the [S_max*D/128, 128] view
+        cr = block_t * head_dim // 128 if folded else block_t
+
         def dmas(slot, j):
             out = [
                 pltpu.make_async_copy(
-                    kc_ref.at[b, h, pl.ds(j * block_t, block_t), :],
+                    kc_ref.at[b, h, pl.ds(j * cr, cr), :],
                     k_scr.at[slot], sem.at[slot, 0],
                 ),
                 pltpu.make_async_copy(
-                    vc_ref.at[b, h, pl.ds(j * block_t, block_t), :],
+                    vc_ref.at[b, h, pl.ds(j * cr, cr), :],
                     v_scr.at[slot], sem.at[slot, 1],
                 ),
             ]
-            if quant:
+            if quant and folded:
+                # scales arrive de-interleaved per part ([B,Hkv,f,1,S_max/f],
+                # see _flash_call); part is a major memref dim so the slice
+                # keeps the proven (1, chunk)-shaped DMA pattern
+                cs = block_t // f
+                for part in range(f):
+                    out += [
+                        pltpu.make_async_copy(
+                            ks_ref.at[b, h, part, :, pl.ds(j * cs, cs)],
+                            ks_scr.at[slot, part], sem.at[slot, 2 + 2 * part],
+                        ),
+                        pltpu.make_async_copy(
+                            vs_ref.at[b, h, part, :, pl.ds(j * cs, cs)],
+                            vs_scr.at[slot, part], sem.at[slot, 3 + 2 * part],
+                        ),
+                    ]
+            elif quant:
                 out += [
                     pltpu.make_async_copy(
                         ks_ref.at[b, h, :, pl.ds(j * block_t, block_t)],
@@ -139,8 +203,18 @@ def _make_kernel(block_t: int, quant: bool):
             for d in dmas(0, 0):
                 d.start()
 
+        if folded:
+            qp_dtype = jnp.bfloat16 if quant else k_scr.dtype
+            q_parts = [
+                jax.lax.dot_general(
+                    q.astype(jnp.float32), et, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(qp_dtype)
+                for et in eps_t
+            ]  # [r, 128] each: q in part-p lanes, zeros elsewhere
+
         def chunk(j, carry):
-            m, l, acc = carry
+            m, l, *accs = carry
             slot = j % 2
 
             @pl.when(j + 1 < nb)
@@ -151,8 +225,52 @@ def _make_kernel(block_t: int, quant: bool):
             for d in dmas(slot, j):
                 d.wait()
 
-            kb = k_scr[slot]  # [bt, D] (int8 when quant)
+            kb = k_scr[slot]  # [bt, D] ([bt/f, 128] folded; int8 when quant)
             vb = v_scr[slot]
+            if folded:
+                cr_ = kb.shape[0]
+                ss = []
+                for part, qp in enumerate(q_parts):
+                    if quant:
+                        sp = jax.lax.dot_general(
+                            qp.astype(jnp.bfloat16), kb.astype(jnp.bfloat16),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) * ks_scr[slot, part][0][None, :]
+                    else:
+                        sp = jax.lax.dot_general(
+                            qp, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [r, bt/f]: scores of positions i*f + part
+                    colp = (
+                        j * block_t + part
+                        + f * jax.lax.broadcasted_iota(jnp.int32, (r, cr_), 1)
+                    )
+                    ss.append(jnp.where(colp < length, sp, _MASK))
+                m_new = m
+                for sp in ss:
+                    m_new = jnp.maximum(m_new, jnp.max(sp, axis=-1, keepdims=True))
+                corr = jnp.exp(m - m_new)
+                ps = [jnp.exp(sp - m_new) for sp in ss]
+                l = l * corr + sum(jnp.sum(p, axis=-1, keepdims=True) for p in ps)
+                if quant:
+                    ps = [
+                        (p * vs_scr[slot, part][0][None, :]).astype(jnp.bfloat16)
+                        for part, p in enumerate(ps)
+                    ]
+                    vmul = vb.astype(jnp.bfloat16)
+                else:
+                    ps = [p.astype(vb.dtype) for p in ps]
+                    vmul = vb
+                accs = [
+                    a * corr + jax.lax.dot_general(
+                        p, vmul, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for a, p in zip(accs, ps)
+                ]
+                return (m_new, l, *accs)
+
             if quant:
                 s = jax.lax.dot_general(
                     q.astype(jnp.bfloat16), kb.astype(jnp.bfloat16),
@@ -172,18 +290,28 @@ def _make_kernel(block_t: int, quant: bool):
             l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
             if quant:
                 pv = (p * vs_scr[slot][0][None, :]).astype(jnp.bfloat16)
-                acc = acc * corr + jax.lax.dot_general(
+                acc = accs[0] * corr + jax.lax.dot_general(
                     pv, vb.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             else:
-                acc = acc * corr + jax.lax.dot_general(
+                acc = accs[0] * corr + jax.lax.dot_general(
                     p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             return m_new, l, acc
 
-        m, l, acc = jax.lax.fori_loop(0, nb, chunk, (m, l, acc))
+        m, l, *accs = jax.lax.fori_loop(0, nb, chunk, (m, l, *accs))
+        if folded:
+            acc = sum(
+                jax.lax.dot_general(
+                    a, et, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # A_p @ Ep  ( = A_p @ Ep^T^T, contract lanes) -> [r, D]
+                for a, et in zip(accs, eps_t)
+            )
+        else:
+            acc = accs[0]
         o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
     return kernel
@@ -192,6 +320,44 @@ def _make_kernel(block_t: int, quant: bool):
 # --------------------------------------------------------------------------
 # host-side wrappers
 # --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _get_flash_fn(block_t: int, interpret: bool, quant: bool):
+    """custom_vmap wrapper around the pallas_call: Mosaic cannot batch a
+    scalar-prefetch grid under ``jax.vmap`` (the scheduler vmaps the spec
+    step over serving slots, serve/scheduler.py), but the kernel is
+    *natively* batched — grid=(batch, kv_heads) with per-row ``lengths``.
+    The batching rule therefore collapses the vmapped axis into the
+    kernel's batch axis: [S, B, ...] -> [S*B, ...], one kernel launch for
+    all slots. Recursing through ``fn`` keeps deeper vmap nests collapsing
+    too."""
+
+    def impl(*args):
+        lengths = args[6]
+        scales = args[7:]
+        return _flash_call(
+            args[0], args[1], args[2], args[3], args[4], args[5], lengths,
+            *(scales if scales else (None, None)),
+            block_t=block_t, interpret=interpret, quant=quant,
+        )
+
+    fn = jax.custom_batching.custom_vmap(impl)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        lifted = [
+            a if b else jax.lax.broadcast(a, (axis_size,))
+            for a, b in zip(args, in_batched)
+        ]
+        merged = [
+            x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]) for x in lifted
+        ]
+        out = fn(*merged)
+        out = out.reshape((axis_size, -1) + out.shape[1:])
+        return out, True
+
+    return fn
 
 
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret", "quant"))
@@ -207,36 +373,71 @@ def _flash_call(
     bsz, hkv, r, d = q_grouped.shape
     s_new = k_new.shape[2]
     kv_dtype = k_cache.dtype
+    s_max = k_cache.shape[2]
+
+    # Sub-128 head_dim (e.g. llama-68m's 64): the tiled memref lane-pads
+    # D -> 128, and a chunk DMA slice over the padded minor dim is rejected
+    # by Mosaic ("slice shape along dimension 3 must be aligned to tiling").
+    # Fold positions into lanes instead: view [S_max, D] as
+    # [S_max*D/128, 128] (identical bytes, fully lane-aligned), DMA folded
+    # chunks, and keep all kernel compute in the folded space (see
+    # _make_kernel). Per-position int8 scales are de-interleaved host-side
+    # into per-part rows so each part's chunk stays a contiguous lane slice.
+    folded = d % 128 != 0
+    f = 128 // d if folded else 1
+    if folded:
+        assert 128 % d == 0, d
+        k_cache = k_cache.reshape(bsz, hkv, s_max * d // 128, 128)
+        v_cache = v_cache.reshape(bsz, hkv, s_max * d // 128, 128)
+        if quant:
+            def deinterleave(sc):  # [B,Hkv,1,S_max] -> [B,Hkv,f,1,S_max/f]
+                sc = sc.reshape(bsz, hkv, s_max // f, f)
+                return sc.transpose(0, 1, 3, 2).reshape(bsz, hkv, f, 1, s_max // f)
+            k_scales = deinterleave(k_scales)
+            v_scales = deinterleave(v_scales)
+    chunk_rows = block_t * d // 128 if folded else block_t
+    chunk_lanes = 128 if folded else d
 
     in_specs = [
         pl.BlockSpec((1, 1, r, d), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, r, s_new), lambda b, h, L: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, s_new, d), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, s_new, d), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
+        # HBM pinned (not ANY): with head_dim 64 the compiler may promote an
+        # ANY-space cache into VMEM, where the lane-padded (64->128) tiling
+        # makes the chunk DMA slice unaligned (Mosaic "slice shape along
+        # dimension 3 must be aligned to tiling" error); in HBM the manual
+        # double-buffered DMA is the whole point anyway.
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
     ]
     args = [q_grouped, bias_rows, k_new, v_new, k_cache, v_cache]
     scratch = [
-        pltpu.VMEM((2, block_t, d), kv_dtype),
-        pltpu.VMEM((2, block_t, d), kv_dtype),
+        pltpu.VMEM((2, chunk_rows, chunk_lanes), kv_dtype),
+        pltpu.VMEM((2, chunk_rows, chunk_lanes), kv_dtype),
     ]
     n_sems = 2
     if quant:
         in_specs += [
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ]
         args += [k_scales, v_scales]
-        scratch += [
-            pltpu.VMEM((2, 1, block_t), jnp.float32),
-            pltpu.VMEM((2, 1, block_t), jnp.float32),
-        ]
-        n_sems = 4
+        if folded:
+            scratch += [
+                pltpu.VMEM((2, f, 1, block_t // f), jnp.float32),
+                pltpu.VMEM((2, f, 1, block_t // f), jnp.float32),
+            ]
+        else:
+            scratch += [
+                pltpu.VMEM((2, 1, block_t), jnp.float32),
+                pltpu.VMEM((2, 1, block_t), jnp.float32),
+            ]
+        n_sems = 2 + 2 * f
     scratch.append(pltpu.SemaphoreType.DMA((2, n_sems)))
 
     return pl.pallas_call(
-        _make_kernel(block_t, quant),
+        _make_kernel(block_t, quant, d, folded),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bsz, hkv),
@@ -281,6 +482,16 @@ def flash_decode_attention(
 
     lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1), (bsz,))
 
+    # Mosaic miscompiles a 1-column new block (single-token decode): pad the
+    # kv side to 2 columns with a fully-masked dummy — softmax weight is
+    # exactly 0, so the result is unchanged. q rows are not padded.
+    if k_new.shape[2] == 1:
+        k_new = jnp.pad(k_new, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        v_new = jnp.pad(v_new, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        block_bias = jnp.pad(
+            block_bias, ((0, 0), (0, 0), (0, 1)), constant_values=_MASK
+        )
+
     # group q rows per kv head and fold the softmax scale in
     qg = (q.astype(jnp.float32) * scale).astype(q.dtype)
     qg = qg.reshape(bsz, hkv, g * s_new, d)
@@ -295,14 +506,12 @@ def flash_decode_attention(
             bias_rows, ((0, 0), (0, r_pad - r), (0, 0)), constant_values=_MASK
         )
 
-    ks = k_scales.reshape(bsz, hkv, 1, s_max) if quant else None
-    vs = v_scales.reshape(bsz, hkv, 1, s_max) if quant else None
-
-    out = _flash_call(
-        qg, bias_rows, k_new.astype(q.dtype), v_new.astype(q.dtype),
-        k_cache, v_cache, lengths, ks, vs,
-        block_t=block_t, interpret=interpret, quant=quant,
-    )
+    args = [qg, bias_rows, k_new.astype(q.dtype), v_new.astype(q.dtype),
+            k_cache, v_cache, lengths]
+    if quant:
+        args += [k_scales.reshape(bsz, hkv, 1, s_max),
+                 v_scales.reshape(bsz, hkv, 1, s_max)]
+    out = _get_flash_fn(block_t, interpret, quant)(*args)
     out = out[:, :, :r].reshape(bsz, hkv, g, s_new, d).reshape(bsz, hq, s_new, d)
     return out
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..cache.kvcache import (
     KVCache,
+    QuantKVCache,
     layer_scan_slices,
     rebuild,
     update_and_read_layer,
@@ -157,7 +158,9 @@ def forward(
         positions = cache.length + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
 
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
-    use_flash = flash_decode.should_use(s, s_max, cfg.head_dim, cfg.flash)
+    use_flash = flash_decode.should_use(
+        s, s_max, cfg.head_dim, cfg.flash, quant=isinstance(cache, QuantKVCache)
+    )
     if use_flash:
         bias_blk = block_bias(s, tree_mask, b)  # [B, S, S]
         bias = None

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..cache.kvcache import (
     KVCache,
+    QuantKVCache,
     layer_scan_slices,
     rebuild,
     update_and_read_layer,
@@ -57,7 +58,10 @@ def forward(
     if positions is None:
         positions = cache.length + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
 
-    use_flash = flash_decode.should_use(s, cache.max_len, cfg.head_dim, cfg.flash)
+    use_flash = flash_decode.should_use(
+        s, cache.max_len, cfg.head_dim, cfg.flash,
+        quant=isinstance(cache, QuantKVCache),
+    )
     if use_flash:
         bias_blk = block_bias(s, tree_mask, b)
         bias = None

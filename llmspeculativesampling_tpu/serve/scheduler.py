@@ -212,13 +212,12 @@ class ContinuousBatchingEngine:
         prompt_bucket: int = 64,
         steps_per_sync: int = 4,
     ):
-        # The batched step vmaps the model forward; Mosaic can't batch the
-        # flash-decode pallas_call (scalar-prefetch grid), so pin the XLA
-        # attention path for scheduler-owned forwards.
-        bundle_d = dataclasses.replace(
-            bundle_d, cfg=dataclasses.replace(bundle_d.cfg, flash="off"))
-        bundle_t = dataclasses.replace(
-            bundle_t, cfg=dataclasses.replace(bundle_t.cfg, flash="off"))
+        # The batched step vmaps the model forward over slots; the
+        # flash-decode pallas_call collapses that axis into its native
+        # batch grid via a custom_vmap rule (kernels/flash_decode.py
+        # _get_flash_fn), so the length-aware kernel serves the batched
+        # verify directly — dead cache beyond each slot's live length is
+        # never fetched. cfg.flash ("auto"/"on"/"off") is honored as-is.
         self.bundle_d, self.params_d = bundle_d, params_d
         self.bundle_t, self.params_t = bundle_t, params_t
         self.num_slots = num_slots

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--kv_int8", action="store_true",
                     help="int8 KV cache on the target (halves verify KV reads)")
+    ap.add_argument("--max_total_len", type=int, default=512)
+    ap.add_argument("--flash", choices=["auto", "on", "off"], default="auto",
+                    help="flash-decode attention mode for both models")
     args = ap.parse_args()
 
     import dataclasses
@@ -40,13 +43,16 @@ def main():
     bd, pd, bt, pt = build_models(quantize=args.int8)
     if args.kv_int8:
         bt = dataclasses.replace(bt, kv_quant=True)
+    if args.flash != "auto":
+        bd = dataclasses.replace(bd, cfg=dataclasses.replace(bd.cfg, flash=args.flash))
+        bt = dataclasses.replace(bt, cfg=dataclasses.replace(bt.cfg, flash=args.flash))
     rng = np.random.default_rng(0)
     prompts = [rng.integers(100, 31000, args.prompt_len).astype(np.int32)
                for _ in range(args.requests)]
 
     # ---- continuous batching
     eng = ContinuousBatchingEngine(
-        bd, pd, bt, pt, num_slots=args.num_slots, max_total_len=512,
+        bd, pd, bt, pt, num_slots=args.num_slots, max_total_len=args.max_total_len,
         max_new_cap=args.max_new, gamma=args.gamma, eos_token_id=2,
         temperature=1.0, top_k=20, top_p=0.9,
         steps_per_sync=args.steps_per_sync,

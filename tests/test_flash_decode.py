@@ -155,3 +155,66 @@ def test_opt_forward_flash_matches_xla(monkeypatch):
     monkeypatch.setenv("LLMSS_FLASH_INTERPRET", "1")
     lg1f, _ = opt.forward(params, cfg, toks_dec, c0)
     np.testing.assert_allclose(np.asarray(lg1f), np.asarray(lg1), rtol=5e-3, atol=5e-3)
+
+
+def test_vmap_collapses_into_batch_axis():
+    """jax.vmap over the kernel (the scheduler's slot axis,
+    serve/scheduler.py::_batched_spec_step) must collapse into the native
+    batch grid via the custom_vmap rule — Mosaic cannot batch a
+    scalar-prefetch pallas_call directly."""
+    s_lanes, b, hq, hkv, s_new, s_max, d = 3, 1, 4, 2, 5, 256, 64
+    ks = jax.random.split(jax.random.key(3), 5)
+    q = jax.random.normal(ks[0], (s_lanes, b, hq, s_new, d), jnp.float32)
+    kn = jax.random.normal(ks[1], (s_lanes, b, hkv, s_new, d), jnp.float32)
+    vn = jax.random.normal(ks[2], (s_lanes, b, hkv, s_new, d), jnp.float32)
+    kc = jax.random.normal(ks[3], (s_lanes, b, hkv, s_max, d), jnp.float32)
+    vc = jax.random.normal(ks[4], (s_lanes, b, hkv, s_max, d), jnp.float32)
+    lengths = jnp.asarray([[37], [128], [0]], jnp.int32)  # per-lane [B]
+    causal = jnp.tril(jnp.ones((s_new, s_new), bool))
+    bias = jnp.broadcast_to(
+        jnp.where(causal, 0.0, -1e30).astype(jnp.float32)[None, None],
+        (s_lanes, b, s_new, s_new),
+    )
+    scale = 1.0 / d ** 0.5
+
+    out = jax.vmap(
+        lambda *a: flash_decode_attention(*a, scale=scale, interpret=True)
+    )(q, kn, vn, kc, vc, lengths, bias)
+    ref = jax.vmap(lambda *a: flash_decode_ref(*a, scale=scale))(
+        q, kn, vn, kc, vc, lengths, bias
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_vmap_int8_kv_collapses_into_batch_axis():
+    from llmspeculativesampling_tpu.cache.kvcache import _quantize_kv
+
+    s_lanes, b, hq, hkv, s_new, s_max, d = 2, 1, 4, 4, 3, 256, 64
+    ks = jax.random.split(jax.random.key(4), 5)
+    q = jax.random.normal(ks[0], (s_lanes, b, hq, s_new, d), jnp.float32)
+    kn = jax.random.normal(ks[1], (s_lanes, b, hkv, s_new, d), jnp.float32)
+    vn = jax.random.normal(ks[2], (s_lanes, b, hkv, s_new, d), jnp.float32)
+    kc = jax.random.normal(ks[3], (s_lanes, b, hkv, s_max, d), jnp.float32)
+    vc = jax.random.normal(ks[4], (s_lanes, b, hkv, s_max, d), jnp.float32)
+    kq, ksc = _quantize_kv(kc)
+    vq, vsc = _quantize_kv(vc)
+    lengths = jnp.asarray([[130], [64]], jnp.int32)
+    causal = jnp.tril(jnp.ones((s_new, s_new), bool))
+    bias = jnp.broadcast_to(
+        jnp.where(causal, 0.0, -1e30).astype(jnp.float32)[None, None],
+        (s_lanes, b, s_new, s_new),
+    )
+    scale = 1.0 / d ** 0.5
+
+    out = jax.vmap(
+        lambda q, kn, vn, kq, vq, L, bias, ksc, vsc: flash_decode_attention(
+            q, kn, vn, kq, vq, L, bias, scale=scale,
+            k_scales=ksc, v_scales=vsc, interpret=True,
+        )
+    )(q, kn, vn, kq, vq, lengths, bias, ksc, vsc)
+    ref = jax.vmap(
+        lambda q, kn, vn, kq, vq, L, bias, ksc, vsc: flash_decode_ref(
+            q, kn, vn, kq, vq, L, bias, scale=scale, k_scales=ksc, v_scales=vsc,
+        )
+    )(q, kn, vn, kq, vq, lengths, bias, ksc, vsc)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)

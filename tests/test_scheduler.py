@@ -162,3 +162,49 @@ def test_multihost_driver_single_process_lockstep():
         assert c is not None
         gen = len(c.output_ids) - c.prompt_len
         assert want <= gen <= want + eng.gamma
+
+
+def test_scheduler_flash_attention_path(monkeypatch):
+    """The batched (vmapped-over-slots) decode step must run with the
+    Pallas flash-decode kernel engaged — the custom_vmap rule collapses the
+    slot axis into the kernel's batch grid (kernels/flash_decode.py). Runs
+    in interpret mode on CPU; asserts the engine drains and is
+    deterministic across identical runs."""
+    monkeypatch.setenv("LLMSS_FLASH_INTERPRET", "1")
+
+    def build(flash):
+        cfg_t = LlamaConfig(
+            vocab_size=128, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=2, num_kv_heads=2, max_position=512,
+            dtype="float32", flash=flash,
+        )
+        cfg_d = LlamaConfig(**{**cfg_t.__dict__, "num_layers": 1})
+        pt = llama.init_params(cfg_t, jax.random.key(0))
+        pd = {
+            "embed": pt["embed"], "ln_final": pt["ln_final"],
+            "lm_head": pt["lm_head"],
+            "layers": jax.tree.map(lambda x: x[:1], pt["layers"]),
+        }
+        bt = ModelBundle("llama", cfg_t, llama.forward)
+        bd = ModelBundle("llama", cfg_d, llama.forward)
+        return ContinuousBatchingEngine(
+            bd, pd, bt, pt, num_slots=2, max_total_len=256, max_new_cap=32,
+            gamma=3, eos_token_id=-1, top_k=10, top_p=0.9, seed=7,
+        )
+
+    def run(flash):
+        eng = build(flash)
+        rids = [eng.submit(list(range(5, 5 + n)), max_new_tokens=8)
+                for n in (12, 20, 16)]
+        eng.run_until_idle()
+        return [eng.result(r).output_ids for r in rids]
+
+    out_a = run("on")
+    out_b = run("on")
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_array_equal(a, b)
+    # integrity: budget respected (±gamma overshoot), tokens in-vocab
+    for ids, n in zip(out_a, (12, 20, 16)):
+        gen = len(ids) - n
+        assert 8 <= gen <= 8 + 3 + 1
+        assert (ids >= 0).all() and (ids < 128).all()
