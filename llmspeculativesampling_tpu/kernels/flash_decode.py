@@ -83,7 +83,9 @@ def should_use(
 # --------------------------------------------------------------------------
 
 
-def _make_kernel(block_t: int, quant: bool, head_dim: int, folded: bool):
+def _make_kernel(
+    block_t: int, quant: bool, head_dim: int, folded: bool, hg: int
+):
     def kernel(
         len_ref, q_ref, bias_ref, knew_ref, vnew_ref, kc_ref, vc_ref,
         *rest,
@@ -95,11 +97,9 @@ def _make_kernel(block_t: int, quant: bool, head_dim: int, folded: bool):
             ks_ref = vs_ref = ks_scr = vs_scr = None
 
         b = pl.program_id(0)
-        h = pl.program_id(1)
+        g = pl.program_id(1)  # kv-head *group*: heads [g*hg, (g+1)*hg)
         length = len_ref[b]
-
-        q = q_ref[0, 0]  # [R, D], softmax scale pre-folded
-        r = q.shape[0]
+        r = q_ref.shape[2]
 
         # Folded (sub-128 head_dim) layout: K/V chunks arrive as
         # [bt/f, 128] with f = 128//D positions per row, position i*f+p in
@@ -120,38 +120,56 @@ def _make_kernel(block_t: int, quant: bool, head_dim: int, folded: bool):
                 for p in range(f)
             ]  # Ep^T: [D, 128]
 
-        # ---- new block (resident in VMEM; carries the causal/tree bias).
-        # All-f32: the block is tiny ([r, S_new] vs the block_t-sized chunk
-        # loop) and bf16 dots with a 1-sized contraction/result dim lower to
-        # an invalid mixed-type vector.broadcast in Mosaic (s_new=1 decode).
-        kn = knew_ref[0, 0].astype(jnp.float32)  # [S_new, D]
-        vn = vnew_ref[0, 0]
-        s_new = jax.lax.dot_general(
-            q.astype(jnp.float32), kn, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bias_ref[0]
-        m = jnp.maximum(jnp.max(s_new, axis=-1, keepdims=True), _MASK)
-        p = jnp.exp(s_new - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        # f32 on both sides: the block is tiny ([r, S_new] x [S_new, D]) and
-        # a bf16 [r,1]x[1,D] dot trips a Mosaic broadcast verifier bug
-        acc = jax.lax.dot_general(
-            p, vn.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if folded:
-            # park the new-block context in part-0 lanes; the final
-            # unfold A_0 @ E0 recovers it exactly (E0^T E0 = I_D)
-            accs = [
-                jax.lax.dot_general(
-                    acc, eps_t[0], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+        # ---- new block, per head in the group (resident in VMEM; carries
+        # the causal/tree bias). All-f32: the block is tiny and bf16 dots
+        # with a 1-sized contraction/result dim lower to an invalid
+        # mixed-type vector.broadcast in Mosaic (s_new=1 decode).
+        ms, ls, accs, q_parts = [], [], [], []
+        qp_dtype = jnp.bfloat16 if quant else k_scr.dtype
+        for hi in range(hg):
+            q = q_ref[0, hi]  # [R, D], softmax scale pre-folded
+            kn = knew_ref[0, hi].astype(jnp.float32)  # [S_new, D]
+            vn = vnew_ref[0, hi]
+            s_new = jax.lax.dot_general(
+                q.astype(jnp.float32), kn, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias_ref[0]
+            m = jnp.maximum(jnp.max(s_new, axis=-1, keepdims=True), _MASK)
+            p = jnp.exp(s_new - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(
+                p, vn.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ms.append(m)
+            ls.append(l)
+            if folded:
+                # park the new-block context in part-0 lanes; the final
+                # unfold A_0 @ E0 recovers it exactly (E0^T E0 = I_D)
+                accs.append(
+                    [
+                        jax.lax.dot_general(
+                            acc, eps_t[0], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    ]
+                    + [jnp.zeros((r, 128), jnp.float32) for _ in range(f - 1)]
                 )
-            ] + [jnp.zeros((r, 128), jnp.float32) for _ in range(f - 1)]
-        else:
-            accs = [acc]
+                q_parts.append(
+                    [
+                        jax.lax.dot_general(
+                            q.astype(jnp.float32), et, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(qp_dtype)
+                        for et in eps_t
+                    ]  # [r, 128] each: q in part-p lanes, zeros elsewhere
+                )
+            else:
+                accs.append([acc])
+                q_parts.append([q])
 
-        # ---- prefix chunks: double-buffered DMA, fetched only up to length
+        # ---- prefix chunks: double-buffered DMA, fetched only up to
+        # length, hg heads per copy (fewer, larger DMAs)
         nb = pl.cdiv(length, block_t)
 
         # chunk j covers positions [j*bt, (j+1)*bt); in the folded layout
@@ -161,38 +179,43 @@ def _make_kernel(block_t: int, quant: bool, head_dim: int, folded: bool):
         def dmas(slot, j):
             out = [
                 pltpu.make_async_copy(
-                    kc_ref.at[b, h, pl.ds(j * cr, cr), :],
+                    kc_ref.at[b, pl.ds(g * hg, hg), pl.ds(j * cr, cr), :],
                     k_scr.at[slot], sem.at[slot, 0],
                 ),
                 pltpu.make_async_copy(
-                    vc_ref.at[b, h, pl.ds(j * cr, cr), :],
+                    vc_ref.at[b, pl.ds(g * hg, hg), pl.ds(j * cr, cr), :],
                     v_scr.at[slot], sem.at[slot, 1],
                 ),
             ]
             if quant and folded:
-                # scales arrive de-interleaved per part ([B,Hkv,f,1,S_max/f],
-                # see _flash_call); part is a major memref dim so the slice
-                # keeps the proven (1, chunk)-shaped DMA pattern
+                # scales arrive de-interleaved per part
+                # ([B,Hkv,f,1,S_max/f], see _flash_call); part/head are
+                # major memref dims so the slice keeps the proven
+                # (1, chunk)-shaped DMA pattern per head
                 cs = block_t // f
                 for part in range(f):
                     out += [
                         pltpu.make_async_copy(
-                            ks_ref.at[b, h, part, :, pl.ds(j * cs, cs)],
+                            ks_ref.at[b, pl.ds(g * hg, hg), part, :,
+                                      pl.ds(j * cs, cs)],
                             ks_scr.at[slot, part], sem.at[slot, 2 + 2 * part],
                         ),
                         pltpu.make_async_copy(
-                            vs_ref.at[b, h, part, :, pl.ds(j * cs, cs)],
+                            vs_ref.at[b, pl.ds(g * hg, hg), part, :,
+                                      pl.ds(j * cs, cs)],
                             vs_scr.at[slot, part], sem.at[slot, 3 + 2 * part],
                         ),
                     ]
             elif quant:
                 out += [
                     pltpu.make_async_copy(
-                        ks_ref.at[b, h, :, pl.ds(j * block_t, block_t)],
+                        ks_ref.at[b, pl.ds(g * hg, hg), :,
+                                  pl.ds(j * block_t, block_t)],
                         ks_scr.at[slot], sem.at[slot, 2],
                     ),
                     pltpu.make_async_copy(
-                        vs_ref.at[b, h, :, pl.ds(j * block_t, block_t)],
+                        vs_ref.at[b, pl.ds(g * hg, hg), :,
+                                  pl.ds(j * block_t, block_t)],
                         vs_scr.at[slot], sem.at[slot, 3],
                     ),
                 ]
@@ -203,18 +226,10 @@ def _make_kernel(block_t: int, quant: bool, head_dim: int, folded: bool):
             for d in dmas(0, 0):
                 d.start()
 
-        if folded:
-            qp_dtype = jnp.bfloat16 if quant else k_scr.dtype
-            q_parts = [
-                jax.lax.dot_general(
-                    q.astype(jnp.float32), et, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(qp_dtype)
-                for et in eps_t
-            ]  # [r, 128] each: q in part-p lanes, zeros elsewhere
-
         def chunk(j, carry):
-            m, l, *accs = carry
+            ms, ls, accs = carry
+            ms, ls = list(ms), list(ls)
+            accs = [list(a) for a in accs]
             slot = j % 2
 
             @pl.when(j + 1 < nb)
@@ -225,18 +240,22 @@ def _make_kernel(block_t: int, quant: bool, head_dim: int, folded: bool):
             for d in dmas(slot, j):
                 d.wait()
 
-            kb = k_scr[slot]  # [bt, D] ([bt/f, 128] folded; int8 when quant)
-            vb = v_scr[slot]
-            if folded:
+            for hi in range(hg):
+                kb = k_scr[slot, hi]  # [bt, D] ([bt/f, 128] folded; int8 quant)
+                vb = v_scr[slot, hi]
                 cr_ = kb.shape[0]
                 ss = []
-                for part, qp in enumerate(q_parts):
+                for part, qp in enumerate(q_parts[hi]):
                     if quant:
+                        ksc = (
+                            ks_scr[slot, part, hi] if folded
+                            else ks_scr[slot, hi]
+                        )
                         sp = jax.lax.dot_general(
                             qp.astype(jnp.bfloat16), kb.astype(jnp.bfloat16),
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                        ) * ks_scr[slot, part][0][None, :]
+                        ) * ksc[0][None, :]  # k dequant deferred to columns
                     else:
                         sp = jax.lax.dot_general(
                             qp, kb, (((1,), (1,)), ((), ())),
@@ -247,72 +266,55 @@ def _make_kernel(block_t: int, quant: bool, head_dim: int, folded: bool):
                         + f * jax.lax.broadcasted_iota(jnp.int32, (r, cr_), 1)
                     )
                     ss.append(jnp.where(colp < length, sp, _MASK))
-                m_new = m
+                m_new = ms[hi]
                 for sp in ss:
-                    m_new = jnp.maximum(m_new, jnp.max(sp, axis=-1, keepdims=True))
-                corr = jnp.exp(m - m_new)
+                    m_new = jnp.maximum(
+                        m_new, jnp.max(sp, axis=-1, keepdims=True)
+                    )
+                corr = jnp.exp(ms[hi] - m_new)
                 ps = [jnp.exp(sp - m_new) for sp in ss]
-                l = l * corr + sum(jnp.sum(p, axis=-1, keepdims=True) for p in ps)
+                ls[hi] = ls[hi] * corr + sum(
+                    jnp.sum(p, axis=-1, keepdims=True) for p in ps
+                )
+                ms[hi] = m_new
                 if quant:
+                    vscs = [
+                        (vs_scr[slot, part, hi] if folded
+                         else vs_scr[slot, hi])
+                        for part in range(f)
+                    ]
                     ps = [
-                        (p * vs_scr[slot, part][0][None, :]).astype(jnp.bfloat16)
+                        (p * vscs[part][0][None, :]).astype(jnp.bfloat16)
                         for part, p in enumerate(ps)
                     ]
                     vmul = vb.astype(jnp.bfloat16)
                 else:
                     ps = [p.astype(vb.dtype) for p in ps]
                     vmul = vb
-                accs = [
+                accs[hi] = [
                     a * corr + jax.lax.dot_general(
                         p, vmul, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    for a, p in zip(accs, ps)
+                    for a, p in zip(accs[hi], ps)
                 ]
-                return (m_new, l, *accs)
+            return tuple(ms), tuple(ls), tuple(tuple(a) for a in accs)
 
-            if quant:
-                s = jax.lax.dot_general(
-                    q.astype(jnp.bfloat16), kb.astype(jnp.bfloat16),
-                    (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-                ) * ks_scr[slot][0][None, :]  # k dequant deferred to columns
-            else:
-                s = jax.lax.dot_general(
-                    q, kb, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            col = j * block_t + jax.lax.broadcasted_iota(jnp.int32, (r, block_t), 1)
-            s = jnp.where(col < length, s, _MASK)
+        carry0 = (tuple(ms), tuple(ls), tuple(tuple(a) for a in accs))
+        ms, ls, accs = jax.lax.fori_loop(0, nb, chunk, carry0)
 
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            corr = jnp.exp(m - m_new)
-            p = jnp.exp(s - m_new)
-            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-            if quant:
-                pv = (p * vs_scr[slot][0][None, :]).astype(jnp.bfloat16)
-                acc = accs[0] * corr + jax.lax.dot_general(
-                    pv, vb.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+        for hi in range(hg):
+            if folded:
+                acc = sum(
+                    jax.lax.dot_general(
+                        a, et, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # A_p @ Ep (contract the 128 lanes) -> [r, D]
+                    for a, et in zip(accs[hi], eps_t)
                 )
             else:
-                acc = accs[0] * corr + jax.lax.dot_general(
-                    p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            return m_new, l, acc
-
-        m, l, *accs = jax.lax.fori_loop(0, nb, chunk, (m, l, *accs))
-        if folded:
-            acc = sum(
-                jax.lax.dot_general(
-                    a, et, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # A_p @ Ep  ( = A_p @ Ep^T^T, contract lanes) -> [r, D]
-                for a, et in zip(accs, eps_t)
-            )
-        else:
-            acc = accs[0]
-        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+                acc = accs[hi][0]
+            o_ref[0, hi] = (acc / jnp.maximum(ls[hi], 1e-30)).astype(o_ref.dtype)
 
     return kernel
 
@@ -398,11 +400,23 @@ def _flash_call(
     chunk_rows = block_t * d // 128 if folded else block_t
     chunk_lanes = 128 if folded else d
 
+    # Heads per grid step: per-(slot, head) programs serialize into many
+    # tiny DMAs (the TPU grid is sequential) and the fixed per-copy latency
+    # swamps the bandwidth saving. Group as many kv heads per program as
+    # keep one K or V chunk copy <= ~1 MiB (=> 2-slot double buffer of K+V
+    # stays <= 4 MiB of the ~16 MiB VMEM), largest divisor of Hkv.
+    unit = chunk_rows * chunk_lanes * kv_dtype.itemsize
+    hg = 1
+    for cand in range(hkv, 0, -1):
+        if hkv % cand == 0 and cand * unit <= (1 << 20):
+            hg = cand
+            break
+
     in_specs = [
-        pl.BlockSpec((1, 1, r, d), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, r, s_new), lambda b, h, L: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, s_new, d), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, s_new, d), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, r, d), lambda b, g, L: (b, g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, r, s_new), lambda b, g, L: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, s_new, d), lambda b, g, L: (b, g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, s_new, d), lambda b, g, L: (b, g, 0, 0), memory_space=pltpu.VMEM),
         # HBM pinned (not ANY): with head_dim 64 the compiler may promote an
         # ANY-space cache into VMEM, where the lane-padded (64->128) tiling
         # makes the chunk DMA slice unaligned (Mosaic "slice shape along
@@ -413,8 +427,8 @@ def _flash_call(
     ]
     args = [q_grouped, bias_rows, k_new, v_new, k_cache, v_cache]
     scratch = [
-        pltpu.VMEM((2, chunk_rows, chunk_lanes), kv_dtype),
-        pltpu.VMEM((2, chunk_rows, chunk_lanes), kv_dtype),
+        pltpu.VMEM((2, hg, chunk_rows, chunk_lanes), kv_dtype),
+        pltpu.VMEM((2, hg, chunk_rows, chunk_lanes), kv_dtype),
     ]
     n_sems = 2
     if quant:
@@ -425,25 +439,25 @@ def _flash_call(
         args += [k_scales, v_scales]
         if folded:
             scratch += [
-                pltpu.VMEM((2, f, 1, block_t // f), jnp.float32),
-                pltpu.VMEM((2, f, 1, block_t // f), jnp.float32),
+                pltpu.VMEM((2, f, hg, 1, block_t // f), jnp.float32),
+                pltpu.VMEM((2, f, hg, 1, block_t // f), jnp.float32),
             ]
         else:
             scratch += [
-                pltpu.VMEM((2, 1, block_t), jnp.float32),
-                pltpu.VMEM((2, 1, block_t), jnp.float32),
+                pltpu.VMEM((2, hg, 1, block_t), jnp.float32),
+                pltpu.VMEM((2, hg, 1, block_t), jnp.float32),
             ]
         n_sems = 2 + 2 * f
     scratch.append(pltpu.SemaphoreType.DMA((2, n_sems)))
 
     return pl.pallas_call(
-        _make_kernel(block_t, quant, d, folded),
+        _make_kernel(block_t, quant, d, folded, hg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(bsz, hkv),
+            grid=(bsz, hkv // hg),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, 1, r, d), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, hg, r, d), lambda b, g, L: (b, g, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=scratch,
         ),
