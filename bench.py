@@ -63,10 +63,25 @@ def build_models(quantize: bool):
 
 
 def main():
+    import sys
+
     from llmspeculativesampling_tpu.engine.autoregressive import autoregressive_generate
     from llmspeculativesampling_tpu.engine.speculative import speculative_generate
 
-    bd, pd, bt, pt = build_models(quantize=True)
+    # Headline config: Llama-2-13B-shaped int8 target (the reference's
+    # headline target geometry, README.md:11) on the single chip — ~13.2 GB
+    # born-int8 weights (core/synthetic.py). Falls back to the 1.1B-shaped
+    # pair if the big allocation fails (e.g. shared/partial chip).
+    config = "13b-int8"
+    try:
+        from llmspeculativesampling_tpu.core.synthetic import synthetic_pair_int8
+        bd, pd, bt, pt = synthetic_pair_int8()
+        jax.block_until_ready(pt["layers"]["w_down"]["q"])
+    except Exception as e:  # noqa: BLE001 — any OOM/backend failure
+        print(f"13b config unavailable ({type(e).__name__}); 1.1b fallback",
+              file=sys.stderr)
+        config = "1.1b-int8"
+        bd, pd, bt, pt = build_models(quantize=True)
     prompt = list(np.random.default_rng(0).integers(100, 31000, 64))
     gen_kw = dict(eos_token_id=2, temperature=1.0, top_k=20, top_p=0.9)
 
@@ -96,6 +111,7 @@ def main():
         "mean_acc_len": round(float(np.mean(d_best["acc_len"])), 3),
         "gamma": GAMMA,
         "weights": "int8",
+        "config": config,
         "device": str(jax.devices()[0]),
     }))
 

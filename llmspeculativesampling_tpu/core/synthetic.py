@@ -67,3 +67,92 @@ def synthetic_pair(
         "layers": jax.tree.map(lambda x: x[:draft_layers], pt["layers"]),
     }
     return bd, pd, bt, pt
+
+
+# --------------------------------------------------------------------------
+# direct-int8 pairs (13B-scale: a bf16 master copy would not fit in HBM)
+# --------------------------------------------------------------------------
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n", "n_stack"))
+def _int8_weight(key, k, n, n_stack):
+    """Stacked [L, K, N] {"q": int8, "s": f32[L, N]} weight, generated
+    directly in int8 (quant/core.py pytree form). random.bits(uint8) ->
+    int8 avoids randint's int32 intermediate, and the jit fuses
+    bits/bitcast/clip into one output buffer — eagerly the chain holds 3
+    copies of each tensor and OOMs at 13B scale."""
+    kq, ks = jax.random.split(key)
+    bits = jax.random.bits(kq, (n_stack, k, n), jnp.uint8)
+    q = jnp.maximum(jax.lax.bitcast_convert_type(bits, jnp.int8), -127)
+    # uniform int8 has std ~73; scales put effective weight std at ~1/sqrt(K)
+    base = 1.0 / (73.0 * float(k) ** 0.5)
+    s = base * jax.random.uniform(ks, (n_stack, n), jnp.float32, 0.8, 1.2)
+    return {"q": q, "s": s}
+
+
+def synthetic_pair_int8(
+    *,
+    hidden_size: int = 5120,
+    intermediate_size: int = 13824,
+    num_layers: int = 40,
+    num_heads: int = 40,
+    vocab_size: int = 32000,
+    draft_layers: int = 2,
+    max_position: int = 2048,
+    damp: float = 0.02,
+    seed: int = 0,
+):
+    """Llama pair with weights *born* int8 (defaults: Llama-2-13B geometry,
+    the reference's headline target, README.md:11). ~13.2 GB at 13B —
+    fits a single 16 GB v5e chip, which the reference needs 4 GPUs +
+    accelerate layer offload for (evaluation.py:183-253). Deeper target
+    layers are damped through their output *scales* so the shared-prefix
+    draft approximates the target (same trick as ``synthetic_pair``)."""
+    from ..models import llama as mod
+
+    h, inter, L, V = hidden_size, intermediate_size, num_layers, vocab_size
+    cfg_t = LlamaConfig(
+        vocab_size=V, hidden_size=h, intermediate_size=inter,
+        num_layers=L, num_heads=num_heads, num_kv_heads=num_heads,
+        max_position=max_position, dtype="bfloat16",
+    )
+    keys = jax.random.split(jax.random.key(seed), 12)
+    layers = {
+        "wq": _int8_weight(keys[0], k=h, n=h, n_stack=L),
+        "wk": _int8_weight(keys[1], k=h, n=h, n_stack=L),
+        "wv": _int8_weight(keys[2], k=h, n=h, n_stack=L),
+        "wo": _int8_weight(keys[3], k=h, n=h, n_stack=L),
+        "w_gate": _int8_weight(keys[4], k=h, n=inter, n_stack=L),
+        "w_up": _int8_weight(keys[5], k=h, n=inter, n_stack=L),
+        "w_down": _int8_weight(keys[6], k=inter, n=h, n_stack=L),
+        "ln_attn": jnp.ones((L, h), jnp.bfloat16),
+        "ln_mlp": jnp.ones((L, h), jnp.bfloat16),
+    }
+    dampv = jnp.concatenate(
+        [jnp.ones(draft_layers), jnp.full((L - draft_layers,), damp)]
+    ).astype(jnp.float32)
+    layers["wo"] = {**layers["wo"], "s": layers["wo"]["s"] * dampv[:, None]}
+    layers["w_down"] = {
+        **layers["w_down"], "s": layers["w_down"]["s"] * dampv[:, None]
+    }
+
+    head = _int8_weight(keys[8], k=h, n=V, n_stack=1)
+    pt = {
+        "embed": jax.random.normal(keys[7], (V, h), jnp.bfloat16) * 0.02,
+        "ln_final": jnp.ones((h,), jnp.bfloat16),
+        # quantized lm_head is unstacked {"q": [H, V], "s": [V]}
+        "lm_head": {"q": head["q"][0], "s": head["s"][0]},
+        "layers": layers,
+    }
+    cfg_d = LlamaConfig(**{**cfg_t.__dict__, "num_layers": draft_layers})
+    pd = {
+        **{k: v for k, v in pt.items() if k != "layers"},
+        "layers": jax.tree.map(lambda x: x[:draft_layers], pt["layers"]),
+    }
+    return (
+        ModelBundle("llama", cfg_d, mod.forward), pd,
+        ModelBundle("llama", cfg_t, mod.forward), pt,
+    )

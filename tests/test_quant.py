@@ -185,3 +185,33 @@ def test_speculative_engine_with_quantized_target():
     out = np.asarray(out)
     assert out.shape[0] == len(prompt) + 12
     assert (out >= 0).all() and (out < cfg.vocab_size).all()
+
+
+def test_synthetic_pair_int8_generates_and_speculates():
+    """The born-int8 pair (core/synthetic.py::synthetic_pair_int8, used by
+    bench.py's 13B headline config) must produce valid quantized pytrees
+    and run the speculative engine end-to-end at tiny dims."""
+    from llmspeculativesampling_tpu.core.synthetic import synthetic_pair_int8
+    from llmspeculativesampling_tpu.engine.speculative import speculative_generate
+    from llmspeculativesampling_tpu.quant.core import is_quantized_leaf
+
+    bd, pd, bt, pt = synthetic_pair_int8(
+        hidden_size=64, intermediate_size=128, num_layers=3, num_heads=2,
+        vocab_size=256, draft_layers=1, max_position=256,
+    )
+    assert is_quantized_leaf(pt["layers"]["wq"])
+    assert pt["layers"]["wq"]["q"].dtype == jnp.int8
+    assert pt["layers"]["wq"]["q"].shape == (3, 64, 64)
+    assert is_quantized_leaf(pt["lm_head"]) and pt["lm_head"]["q"].shape == (64, 256)
+    assert pd["layers"]["wq"]["q"].shape == (1, 64, 64)
+    # deeper target layers damped through scales
+    assert float(pt["layers"]["wo"]["s"][2].mean()) < float(
+        pt["layers"]["wo"]["s"][0].mean()) * 0.1
+
+    out, details = speculative_generate(
+        bd, pd, bt, pt, list(range(5, 20)), 12, gamma=3,
+        key=jax.random.key(0), details=True, eos_token_id=-1,
+        temperature=1.0, top_k=20, top_p=0.9,
+    )
+    assert len(out) >= 15 + 12
+    assert 0.0 <= details["acc_rate"] <= 1.0
