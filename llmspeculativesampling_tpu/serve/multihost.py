@@ -126,15 +126,16 @@ class MultiHostDriver:
 
         n_live = sum(r is not None for r in eng._slot_req)
         if n_live:
+            meta = None
             for _ in range(chunks):
-                eng.state = _batched_spec_step(
+                eng.state, meta = _batched_spec_step(
                     eng.params_d, eng.params_t, eng.state,
                     bundle_d=eng.bundle_d, bundle_t=eng.bundle_t,
                     gamma=eng.gamma, scfg=eng.scfg,
                     eos_token_id=eng.eos_token_id,
                     n_steps=eng.steps_per_sync,
                 )
-            eng._collect()
+            eng._collect(meta)
         return eng.num_active
 
     def run_until_idle(self, max_rounds: int = 10_000) -> int:

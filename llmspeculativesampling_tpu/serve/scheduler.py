@@ -80,12 +80,13 @@ def _put_slot(cache_b, cache_s, slot):
 @partial(
     jax.jit,
     static_argnames=("bundle_d", "bundle_t", "gamma", "scfg", "eos_token_id", "n_steps"),
+    donate_argnames=("state",),
 )
 def _batched_spec_step(
     params_d, params_t, state: BatchState, *,
     bundle_d: ModelBundle, bundle_t: ModelBundle,
     gamma: int, scfg: SamplingConfig, eos_token_id: int, n_steps: int = 1,
-) -> BatchState:
+):
     """``n_steps`` speculative decode steps for every slot, in one XLA
     program. Chunking matters: every dispatch to the (possibly remote)
     device costs a host round trip, so the host syncs scheduler metadata
@@ -121,10 +122,15 @@ def _batched_spec_step(
         return jax.vmap(one)(spec, state.active, state.target_len)
 
     spec = jax.lax.fori_loop(0, n_steps, chunk_step, state.spec)
-    return BatchState(spec, state.active, state.target_len)
+    # Scheduling metadata packed into one fresh int32 array. The caller's
+    # pipelined loop keeps it alive across the NEXT dispatch, which
+    # donates the state — a structurally distinct array cannot alias the
+    # donated buffers, so the deferred host read stays valid.
+    meta = jnp.concatenate([spec.cur_len, spec.done.astype(jnp.int32)])
+    return BatchState(spec, state.active, state.target_len), meta
 
 
-@partial(jax.jit, static_argnames=("bundle_d", "bundle_t"))
+@partial(jax.jit, static_argnames=("bundle_d", "bundle_t"), donate_argnames=("state",))
 def _prefill_slot(
     params_d, params_t, state: BatchState, slot, prompt_padded, p_len,
     max_new, key, *, bundle_d: ModelBundle, bundle_t: ModelBundle,
@@ -312,11 +318,13 @@ class ContinuousBatchingEngine:
             self._slot_req[slot] = req
             self._slot_gen[slot] += 1
 
-    def _collect(self):
-        spec = self.state.spec
-        # one transfer for the scheduling metadata, not one per field
-        done, cur_len = jax.device_get((spec.done, spec.cur_len))
-        self._harvest(np.asarray(done), np.asarray(cur_len), tuple(self._slot_gen))
+    def _collect(self, meta):
+        # one transfer for the scheduling metadata, not one per field.
+        # ``meta`` is the step's packed [cur_len | done] output — read it,
+        # not state.spec, whose buffers the next dispatch will donate away.
+        m = np.asarray(jax.device_get(meta))
+        s = self.num_slots
+        self._harvest(m[s:].astype(bool), m[:s], tuple(self._slot_gen))
 
     def _harvest(self, done: np.ndarray, cur_len: np.ndarray, gens: tuple):
         """Harvest finished slots given (possibly one-chunk-stale) metadata.
@@ -371,13 +379,13 @@ class ContinuousBatchingEngine:
         single dispatch) + harvest. Returns #live slots."""
         self._admit()
         if self.num_active:
-            self.state = _batched_spec_step(
+            self.state, meta = _batched_spec_step(
                 self.params_d, self.params_t, self.state,
                 bundle_d=self.bundle_d, bundle_t=self.bundle_t,
                 gamma=self.gamma, scfg=self.scfg, eos_token_id=self.eos_token_id,
                 n_steps=self.steps_per_sync,
             )
-            self._collect()
+            self._collect(meta)
         return self.num_active
 
     def run_until_idle(self, max_steps: int = 10_000):
@@ -391,7 +399,7 @@ class ContinuousBatchingEngine:
             self._admit()
             dispatched = False
             if self.num_active:
-                self.state = _batched_spec_step(
+                self.state, meta = _batched_spec_step(
                     self.params_d, self.params_t, self.state,
                     bundle_d=self.bundle_d, bundle_t=self.bundle_t,
                     gamma=self.gamma, scfg=self.scfg,
@@ -400,19 +408,17 @@ class ContinuousBatchingEngine:
                 )
                 steps += 1
                 dispatched = True
-                spec = self.state.spec
                 try:
-                    spec.done.copy_to_host_async()
-                    spec.cur_len.copy_to_host_async()
+                    meta.copy_to_host_async()
                 except Exception:  # backend without async copies
                     pass
-                new_inflight = (spec.done, spec.cur_len, tuple(self._slot_gen))
+                new_inflight = (meta, tuple(self._slot_gen))
             else:
                 new_inflight = None
             if inflight is not None:
-                self._harvest(
-                    np.asarray(inflight[0]), np.asarray(inflight[1]), inflight[2]
-                )
+                m = np.asarray(inflight[0])
+                s = self.num_slots
+                self._harvest(m[s:].astype(bool), m[:s], inflight[1])
             inflight = new_inflight
             if not dispatched and inflight is None and not self._pending \
                     and not self.num_active:

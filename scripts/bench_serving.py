@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--max_total_len", type=int, default=512)
     ap.add_argument("--flash", choices=["auto", "on", "off"], default="auto",
                     help="flash-decode attention mode for both models")
+    ap.add_argument("--config", choices=["1.1b", "13b"], default="1.1b",
+                    help="13b: born-int8 Llama-2-13B-shaped target "
+                         "(core/synthetic.py); KV budget then forces few slots")
     args = ap.parse_args()
 
     import dataclasses
@@ -40,7 +43,11 @@ def main():
     from llmspeculativesampling_tpu.serve.scheduler import ContinuousBatchingEngine
 
     print("device:", jax.devices()[0].device_kind, flush=True)
-    bd, pd, bt, pt = build_models(quantize=args.int8)
+    if args.config == "13b":
+        from llmspeculativesampling_tpu.core.synthetic import synthetic_pair_int8
+        bd, pd, bt, pt = synthetic_pair_int8()
+    else:
+        bd, pd, bt, pt = build_models(quantize=args.int8)
     if args.kv_int8:
         bt = dataclasses.replace(bt, kv_quant=True)
     if args.flash != "auto":
