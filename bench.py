@@ -26,8 +26,9 @@ import jax
 import jax.numpy as jnp
 
 GAMMA = 8        # measured-optimal for the 1.1b fallback pair
-GAMMA_13B = 14   # measured-optimal at 13B (draft is 2/40 of the target,
-                 # so deeper speculation amortizes the 13 GB verify read)
+GAMMA_13B = 24   # measured-optimal at 13B: the 68m-scale draft is nearly
+                 # free next to the 13 GB verify read, so speculation pays
+                 # until acceptance^gamma tails off (median-of-6 sweep)
 MAX_NEW = 128
 
 
@@ -70,14 +71,17 @@ def main():
     from llmspeculativesampling_tpu.engine.autoregressive import autoregressive_generate
     from llmspeculativesampling_tpu.engine.speculative import speculative_generate
 
-    # Headline config: Llama-2-13B-shaped int8 target (the reference's
-    # headline target geometry, README.md:11) on the single chip — ~13.2 GB
-    # born-int8 weights (core/synthetic.py). Falls back to the 1.1B-shaped
-    # pair if the big allocation fails (e.g. shared/partial chip).
+    # Headline config: Llama-2-13B-shaped int8 target + independent
+    # 68m-scale draft (the reference's headline pairing, README.md:11) on
+    # the single chip — ~13.2 GB born-int8 weights (core/synthetic.py).
+    # Falls back to the 1.1B-shaped pair if the big allocation fails
+    # (e.g. shared/partial chip).
     config = "13b-int8"
     try:
-        from llmspeculativesampling_tpu.core.synthetic import synthetic_pair_int8
-        bd, pd, bt, pt = synthetic_pair_int8()
+        from llmspeculativesampling_tpu.core.synthetic import (
+            synthetic_pair_int8_small_draft,
+        )
+        bd, pd, bt, pt = synthetic_pair_int8_small_draft()
         jax.block_until_ready(pt["layers"]["w_down"]["q"])
     except Exception as e:  # noqa: BLE001 — any OOM/backend failure
         print(f"13b config unavailable ({type(e).__name__}); 1.1b fallback",

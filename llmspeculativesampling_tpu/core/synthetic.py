@@ -156,3 +156,124 @@ def synthetic_pair_int8(
         ModelBundle("llama", cfg_d, mod.forward), pd,
         ModelBundle("llama", cfg_t, mod.forward), pt,
     )
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("ld", "k_blk", "n_blk")
+)
+def _blockify_jit(q_t, s_t, q_d, s_d, *, ld, k_blk, n_blk):
+    qz = jnp.zeros_like(q_t[:ld])
+    q = q_t.at[:ld].set(qz.at[:, :k_blk, :n_blk].set(q_d))
+    s = s_t.at[:ld, :n_blk].set(s_d)
+    return q, s
+
+
+def synthetic_pair_int8_small_draft(
+    *,
+    hidden_size: int = 5120,
+    intermediate_size: int = 13824,
+    num_layers: int = 40,
+    num_heads: int = 40,
+    vocab_size: int = 32000,
+    draft_hidden: int = 768,
+    draft_intermediate: int = 3072,
+    draft_layers: int = 2,
+    max_position: int = 2048,
+    damp: float = 0.008,  # acceptance ~0.88 at 13B, matching the
+                          # shared-prefix pair's measured rate
+    embed_std: float = 0.5,
+    seed: int = 0,
+):
+    """13B-geometry int8 target + an *independent 68m-scale draft* — the
+    reference's actual pairing (llama-68m + Llama-2-13b, README.md:11),
+    unlike ``synthetic_pair_int8`` whose draft is two full-width target
+    layers (~800 MB of reads per draft step vs ~45 MB here).
+
+    Construction: the draft is a standalone [768-hidden, 2-layer] model;
+    the target's first two layers *embed* it exactly via block-structured
+    int8 weights — draft blocks in the top-left, zeros elsewhere, so the
+    target's hidden dims >= 768 stay zero through those layers (stored
+    dense: HBM traffic is unchanged). RMSNorm is width-corrected with
+    rho = sqrt(768/H) on the embedded layers' norm weights and the
+    target's ln_final, making target logits == draft logits up to the
+    damped deeper layers — which are the acceptance gap, same as
+    ``synthetic_pair_int8``. ``embed_std`` is large so rms**2 >> the
+    norm epsilon in both widths (the eps term otherwise breaks the
+    cross-width equivalence).
+    """
+    from ..models import llama as mod
+
+    H, I, L, V = hidden_size, intermediate_size, num_layers, vocab_size
+    h, i_d, ld = draft_hidden, draft_intermediate, draft_layers
+    head_dim = H // num_heads
+    assert h % head_dim == 0, (h, head_dim)
+    draft_heads = h // head_dim
+
+    # ---- standalone draft, born int8
+    cfg_d = LlamaConfig(
+        vocab_size=V, hidden_size=h, intermediate_size=i_d,
+        num_layers=ld, num_heads=draft_heads, num_kv_heads=draft_heads,
+        max_position=max_position, dtype="bfloat16",
+    )
+    kd = jax.random.split(jax.random.key(seed + 1), 9)
+    dlay = {
+        "wq": _int8_weight(kd[0], k=h, n=h, n_stack=ld),
+        "wk": _int8_weight(kd[1], k=h, n=h, n_stack=ld),
+        "wv": _int8_weight(kd[2], k=h, n=h, n_stack=ld),
+        "wo": _int8_weight(kd[3], k=h, n=h, n_stack=ld),
+        "w_gate": _int8_weight(kd[4], k=h, n=i_d, n_stack=ld),
+        "w_up": _int8_weight(kd[5], k=h, n=i_d, n_stack=ld),
+        "w_down": _int8_weight(kd[6], k=i_d, n=h, n_stack=ld),
+        "ln_attn": jnp.ones((ld, h), jnp.bfloat16),
+        "ln_mlp": jnp.ones((ld, h), jnp.bfloat16),
+    }
+    dhead = _int8_weight(kd[8], k=h, n=V, n_stack=1)
+    pd = {
+        "embed": jax.random.normal(kd[7], (V, h), jnp.bfloat16) * embed_std,
+        "ln_final": jnp.ones((h,), jnp.bfloat16),
+        "lm_head": {"q": dhead["q"][0], "s": dhead["s"][0]},
+        "layers": dlay,
+    }
+
+    # ---- target, born int8, then overwrite the first ld layers with the
+    # zero-padded draft blocks
+    _, _, bt, pt = synthetic_pair_int8(
+        hidden_size=H, intermediate_size=I, num_layers=L,
+        num_heads=num_heads, vocab_size=V, draft_layers=ld,
+        max_position=max_position, damp=damp, seed=seed,
+    )
+    rho = float(h / H) ** 0.5
+
+    def blockify(wt, wd, k_blk, n_blk):
+        """First ld layers: zero everywhere except the [k_blk, n_blk]
+        top-left block = draft weight; draft scales on block columns.
+        Donated + jitted: an eager .at[].set copies the full [L, K, N]
+        tensor (multi-GB at 13B scale) — in-place keeps peak HBM flat."""
+        q, s = _blockify_jit(wt["q"], wt["s"], wd["q"], wd["s"],
+                             ld=ld, k_blk=k_blk, n_blk=n_blk)
+        return {"q": q, "s": s}
+
+    lt = pt["layers"]
+    lt["wq"] = blockify(lt["wq"], dlay["wq"], h, h)
+    lt["wk"] = blockify(lt["wk"], dlay["wk"], h, h)
+    lt["wv"] = blockify(lt["wv"], dlay["wv"], h, h)
+    lt["wo"] = blockify(lt["wo"], dlay["wo"], h, h)
+    lt["w_gate"] = blockify(lt["w_gate"], dlay["w_gate"], h, i_d)
+    lt["w_up"] = blockify(lt["w_up"], dlay["w_up"], h, i_d)
+    lt["w_down"] = blockify(lt["w_down"], dlay["w_down"], i_d, h)
+    # damp was applied to wo/w_down scales for l >= ld by
+    # synthetic_pair_int8 and survives: blockify only rewrites l < ld.
+    ln_emb = jnp.zeros((ld, H), jnp.bfloat16).at[:, :h].set(
+        jnp.bfloat16(rho) * dlay["ln_attn"]
+    )
+    lt["ln_attn"] = lt["ln_attn"].at[:ld].set(ln_emb)
+    lt["ln_mlp"] = lt["ln_mlp"].at[:ld].set(ln_emb)
+
+    pt["embed"] = jnp.zeros((V, H), jnp.bfloat16).at[:, :h].set(pd["embed"])
+    pt["ln_final"] = jnp.full((H,), rho, jnp.bfloat16)
+    pt["lm_head"] = {
+        "q": pt["lm_head"]["q"].at[:h].set(pd["lm_head"]["q"]),
+        "s": pd["lm_head"]["s"],
+    }
+
+    return ModelBundle("llama", cfg_d, mod.forward), pd, bt, pt

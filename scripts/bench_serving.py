@@ -44,8 +44,10 @@ def main():
 
     print("device:", jax.devices()[0].device_kind, flush=True)
     if args.config == "13b":
-        from llmspeculativesampling_tpu.core.synthetic import synthetic_pair_int8
-        bd, pd, bt, pt = synthetic_pair_int8()
+        from llmspeculativesampling_tpu.core.synthetic import (
+            synthetic_pair_int8_small_draft,
+        )
+        bd, pd, bt, pt = synthetic_pair_int8_small_draft()
     else:
         bd, pd, bt, pt = build_models(quantize=args.int8)
     if args.kv_int8:

@@ -215,3 +215,42 @@ def test_synthetic_pair_int8_generates_and_speculates():
     )
     assert len(out) >= 15 + 12
     assert 0.0 <= details["acc_rate"] <= 1.0
+
+
+def test_small_draft_pair_embeds_draft_exactly():
+    """synthetic_pair_int8_small_draft embeds the standalone narrow draft
+    in the target's first layers via block-structured int8 weights; at
+    damp=0 the target's output distribution must equal the draft's up to
+    bf16 noise (the construction's exactness property — see the width-
+    corrected RMSNorm analysis in core/synthetic.py)."""
+    from llmspeculativesampling_tpu.cache.kvcache import init_cache
+    from llmspeculativesampling_tpu.core.synthetic import (
+        synthetic_pair_int8_small_draft,
+    )
+
+    bd, pd, bt, pt = synthetic_pair_int8_small_draft(
+        hidden_size=256, intermediate_size=512, num_layers=4, num_heads=4,
+        vocab_size=128, draft_hidden=128, draft_intermediate=256,
+        draft_layers=2, damp=0.0,
+    )
+    assert bd.cfg.hidden_size == 128 and bt.cfg.hidden_size == 256
+    assert bd.cfg.head_dim == bt.cfg.head_dim  # RoPE equivalence requires it
+
+    toks = jnp.arange(3, 13)[None]
+    cd = init_cache(bd.cfg.num_layers, 1, bd.cfg.num_kv_heads, 64, bd.cfg.head_dim)
+    ct = init_cache(bt.cfg.num_layers, 1, bt.cfg.num_kv_heads, 64, bt.cfg.head_dim)
+    ld, _ = bd.forward(pd, bd.cfg, toks, cd)
+    lt, _ = bt.forward(pt, bt.cfg, toks, ct)
+    p_d = jax.nn.softmax(ld[0, -1])
+    p_t = jax.nn.softmax(lt[0, -1])
+    assert float(jnp.max(jnp.abs(p_d - p_t))) < 5e-3
+
+    # with damping the deeper layers perturb the target away from the draft
+    _, _, bt2, pt2 = synthetic_pair_int8_small_draft(
+        hidden_size=256, intermediate_size=512, num_layers=4, num_heads=4,
+        vocab_size=128, draft_hidden=128, draft_intermediate=256,
+        draft_layers=2, damp=0.05,
+    )
+    ct2 = init_cache(bt2.cfg.num_layers, 1, bt2.cfg.num_kv_heads, 64, bt2.cfg.head_dim)
+    lt2, _ = bt2.forward(pt2, bt2.cfg, toks, ct2)
+    assert float(jnp.max(jnp.abs(lt2 - lt))) > 1e-3
