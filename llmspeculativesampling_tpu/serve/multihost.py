@@ -100,6 +100,9 @@ class MultiHostDriver:
                 continue
             p = np.asarray(prompts[j][: int(p_lens[j])], np.int32)
             padded, p_len = pad_prompt(p, eng.prompt_bucket)
+            # split (not fold_in-by-rid as in engine._admit): every host
+            # advances _admit_key identically through the same plan, and
+            # host 0's rids don't exist on the other hosts
             eng._admit_key, sub = jax.random.split(eng._admit_key)
             from .scheduler import _prefill_slot
 

@@ -174,6 +174,76 @@ def _prefill_slot(
     )
 
 
+@partial(
+    jax.jit, static_argnames=("bundle_d", "bundle_t"), donate_argnames=("state",)
+)
+def _prefill_batch(
+    params_d, params_t, state: BatchState, slots, prompts, p_lens,
+    max_news, keys, *, bundle_d: ModelBundle, bundle_t: ModelBundle,
+) -> BatchState:
+    """Admit up to K requests in ONE dispatch: a vmapped prefill reads the
+    target's weights once for all K prompts instead of once per request —
+    at 13B scale a single admission costs a full 13 GB weight sweep, so
+    burst admissions were ~K× more expensive than they needed to be.
+
+    ``slots`` [K] int32; padding rows carry slot index == num_slots, which
+    every scatter drops via out-of-bounds ``mode="drop"`` semantics.
+    ``prompts`` [K, P_bucket]; ``p_lens``/``max_news`` [K]; ``keys`` [K].
+    """
+    spec = state.spec
+    kb = slots.shape[0]
+
+    # fresh zero caches, NOT a gather of the slots' current rows: the
+    # gather materializes K full cache copies (gigabytes at 13B scale)
+    # only for every value to be overwritten by the prefill anyway
+    d_rows = jax.tree.map(
+        lambda x: jnp.zeros((kb,) + x.shape[1:], x.dtype), spec.draft_cache
+    )
+    t_rows = jax.tree.map(
+        lambda x: jnp.zeros((kb,) + x.shape[1:], x.dtype), spec.target_cache
+    )
+
+    def one(prompt, d_slot, t_slot):
+        d_slot = _map_kv(d_slot, lambda x: x, length=0)
+        t_slot = _map_kv(t_slot, lambda x: x, length=0)
+        _, d2 = bundle_d.forward(params_d, bundle_d.cfg, prompt[None], d_slot)
+        _, t2 = bundle_t.forward(params_t, bundle_t.cfg, prompt[None], t_slot)
+        return d2, t2
+
+    d_new, t_new = jax.vmap(one)(prompts, d_rows, t_rows)
+
+    def scat(big, rows):
+        return big.at[slots].set(rows.astype(big.dtype), mode="drop")
+
+    t_max = spec.tokens.shape[-1]
+    tok_rows = jnp.zeros((slots.shape[0], 1, t_max), jnp.int32)
+    tok_rows = jax.lax.dynamic_update_slice(tok_rows, prompts[:, None, :], (0, 0, 0))
+    zeros_k = jnp.zeros((slots.shape[0],), jnp.int32)
+
+    new_spec = SpecState(
+        tokens=scat(spec.tokens, tok_rows),
+        cur_len=scat(spec.cur_len, p_lens),
+        draft_cache=jax.tree.map(scat, spec.draft_cache, d_new),
+        target_cache=jax.tree.map(scat, spec.target_cache, t_new),
+        key=spec.key.at[slots].set(keys, mode="drop"),  # typed PRNG keys: no astype
+        done=scat(spec.done, jnp.zeros((slots.shape[0],), bool)),
+        accepted=scat(spec.accepted, zeros_k),
+        resamples=scat(spec.resamples, zeros_k),
+        bonus=scat(spec.bonus, zeros_k),
+        steps=scat(spec.steps, zeros_k),
+        acc_rate_sum=scat(spec.acc_rate_sum, jnp.zeros((slots.shape[0],), jnp.float32)),
+        acc_len_hist=scat(
+            spec.acc_len_hist,
+            jnp.zeros((slots.shape[0], spec.acc_len_hist.shape[-1]), jnp.int32),
+        ),
+    )
+    return BatchState(
+        spec=new_spec,
+        active=scat(state.active, jnp.ones((slots.shape[0],), bool)),
+        target_len=scat(state.target_len, p_lens + max_news),
+    )
+
+
 @dataclasses.dataclass
 class Request:
     rid: int
@@ -275,11 +345,20 @@ class ContinuousBatchingEngine:
         backends with remote compilation each distinct program costs
         seconds the first time — never pay that on a live request."""
         rng = np.random.default_rng(0)
-        rids = [
-            self.submit(rng.integers(2, 100, size=max(prompt_len, 2)), 2)
-            for _ in range(self.num_slots + 1)
-        ]
-        self.run_until_idle()
+        rids = []
+        # burst of num_slots+1 compiles the full-batch prefill and the K=1
+        # path; the extra small waves compile the intermediate power-of-two
+        # prefill buckets a steady-state trickle of admissions will hit
+        waves = [self.num_slots + 1]
+        for kb in (2, 4, 8):
+            if 1 < kb < self.num_slots:
+                waves.append(kb)
+        for n in waves:
+            rids += [
+                self.submit(rng.integers(2, 100, size=max(prompt_len, 2)), 2)
+                for _ in range(n)
+            ]
+            self.run_until_idle()
         for r in rids:
             self.completions.pop(r, None)
 
@@ -303,20 +382,67 @@ class ContinuousBatchingEngine:
         return sum(r is not None for r in self._slot_req)
 
     def _admit(self):
+        """Admit pending requests into free slots. Same-bucket prompts are
+        prefilled in one batched dispatch (weights read once for the whole
+        burst, _prefill_batch); K is rounded up to a power of two with
+        OOB-dropped padding rows so the program cache stays log-sized."""
         free = [i for i, r in enumerate(self._slot_req) if r is None]
         while free and self._pending:
-            slot = free.pop(0)
-            req = self._pending.popleft()
-            padded, p_len = pad_prompt(req.prompt, self.prompt_bucket)
-            self._admit_key, sub = jax.random.split(self._admit_key)
-            self.state = _prefill_slot(
-                self.params_d, self.params_t, self.state,
-                slot, jnp.asarray(padded), p_len, req.max_new_tokens, sub,
-                bundle_d=self.bundle_d, bundle_t=self.bundle_t,
-            )
-            req.prefill_time = time.perf_counter()
-            self._slot_req[slot] = req
-            self._slot_gen[slot] += 1
+            # take a run of pending requests sharing one prompt bucket,
+            # capped at 8 per dispatch: prefill activations plus the K new
+            # cache rows are transient HBM that must coexist with the
+            # weights (at 13B, K=16 is ~2 GB over budget)
+            batch: list[tuple[int, Request, np.ndarray, int]] = []
+            bucket = None
+            while free and self._pending and len(batch) < 8:
+                nxt = self._pending[0]
+                padded, p_len = pad_prompt(nxt.prompt, self.prompt_bucket)
+                if bucket is None:
+                    bucket = padded.shape[-1]
+                elif padded.shape[-1] != bucket:
+                    break
+                self._pending.popleft()
+                batch.append((free.pop(0), nxt, np.asarray(padded).reshape(-1), p_len))
+            k = len(batch)
+            if k == 1:
+                slot, req, padded, p_len = batch[0]
+                # per-request key by rid: identical stream whether the
+                # request arrives in a burst or a trickle
+                sub = jax.random.fold_in(self._admit_key, req.rid)
+                self.state = _prefill_slot(
+                    self.params_d, self.params_t, self.state,
+                    slot, jnp.asarray(padded[None]), p_len,
+                    req.max_new_tokens, sub,
+                    bundle_d=self.bundle_d, bundle_t=self.bundle_t,
+                )
+            else:
+                kb = 1 << (k - 1).bit_length()  # next power of two
+                pad_rows = kb - k
+                slots = np.full((kb,), self.num_slots, np.int32)  # OOB => dropped
+                prompts = np.zeros((kb, bucket), np.int32)
+                p_lens = np.full((kb,), 2, np.int32)
+                max_news = np.zeros((kb,), np.int32)
+                for j, (slot, req, padded, p_len) in enumerate(batch):
+                    slots[j] = slot
+                    prompts[j] = padded
+                    p_lens[j] = p_len
+                    max_news[j] = req.max_new_tokens
+                subs = jnp.stack([
+                    jax.random.fold_in(self._admit_key, batch[j][1].rid)
+                    if j < k else jax.random.fold_in(self._admit_key, 2**31 - 1)
+                    for j in range(kb)
+                ])
+                self.state = _prefill_batch(
+                    self.params_d, self.params_t, self.state,
+                    jnp.asarray(slots), jnp.asarray(prompts),
+                    jnp.asarray(p_lens), jnp.asarray(max_news), subs,
+                    bundle_d=self.bundle_d, bundle_t=self.bundle_t,
+                )
+            now = time.perf_counter()
+            for slot, req, _, _ in batch:
+                req.prefill_time = now
+                self._slot_req[slot] = req
+                self._slot_gen[slot] += 1
 
     def _collect(self, meta):
         # one transfer for the scheduling metadata, not one per field.

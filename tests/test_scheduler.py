@@ -208,3 +208,50 @@ def test_scheduler_flash_attention_path(monkeypatch):
         gen = len(ids) - n
         assert 8 <= gen <= 8 + 3 + 1
         assert (ids >= 0).all() and (ids < 128).all()
+
+
+def test_batched_prefill_matches_sequential_admission():
+    """_prefill_batch (one dispatch for a burst of admissions) must leave
+    the engine in a state that generates exactly what per-slot sequential
+    prefill produced — same seeds, same outputs. Also covers the padded
+    (non-power-of-two burst) path via 3 requests -> K=4 with one
+    OOB-dropped row."""
+    def build():
+        cfg_t = LlamaConfig(
+            vocab_size=128, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=2, num_kv_heads=2, max_position=512,
+            dtype="float32",
+        )
+        cfg_d = LlamaConfig(**{**cfg_t.__dict__, "num_layers": 1})
+        pt = llama.init_params(cfg_t, jax.random.key(0))
+        pd = {
+            "embed": pt["embed"], "ln_final": pt["ln_final"],
+            "lm_head": pt["lm_head"],
+            "layers": jax.tree.map(lambda x: x[:1], pt["layers"]),
+        }
+        return ContinuousBatchingEngine(
+            ModelBundle("llama", cfg_d, llama.forward), pd,
+            ModelBundle("llama", cfg_t, llama.forward), pt,
+            num_slots=4, max_total_len=256, max_new_cap=16,
+            gamma=3, eos_token_id=-1, top_k=10, top_p=0.9, seed=11,
+        )
+
+    prompts = [list(range(5, 5 + n)) for n in (12, 20, 16)]
+
+    # burst: all 3 submitted before stepping -> one batched prefill (K=4)
+    eng_a = build()
+    rids_a = [eng_a.submit(p, max_new_tokens=8) for p in prompts]
+    eng_a.run_until_idle()
+    outs_a = [eng_a.result(r).output_ids for r in rids_a]
+
+    # trickle: one at a time, stepping in between -> per-slot prefill
+    eng_b = build()
+    rids_b = []
+    for p in prompts:
+        rids_b.append(eng_b.submit(p, max_new_tokens=8))
+        eng_b.step()
+    eng_b.run_until_idle()
+    outs_b = [eng_b.result(r).output_ids for r in rids_b]
+
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_array_equal(a, b)
