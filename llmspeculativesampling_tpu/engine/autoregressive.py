@@ -86,12 +86,15 @@ def autoregressive_generate(
     key: Optional[jax.Array] = None,
     pad_token_id: Optional[int] = None,  # parity arg; EOS handling only needs eos
     details: bool = False,
+    tp_mesh=None,
 ):
     """Generate ``max_new_tokens`` tokens autoregressively. Returns the
     generated sequence (prompt included) as numpy int32 [T]; with
-    ``details=True`` also a timing dict mirroring the reference schema."""
+    ``details=True`` also a timing dict mirroring the reference schema.
+    ``tp_mesh``: see ``speculative_generate`` (distributed top-k sampling
+    over tensor-parallel shards)."""
     del pad_token_id
-    scfg = SamplingConfig(temperature, top_k, top_p)
+    scfg = SamplingConfig(temperature, top_k, top_p, tp_mesh=tp_mesh)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)
     max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens)

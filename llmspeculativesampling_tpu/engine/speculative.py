@@ -343,6 +343,7 @@ def speculative_generate(
     random_seed: Optional[int] = None,
     details: bool = False,
     stepwise: bool = False,
+    tp_mesh=None,
 ):
     """Speculative sampling with KV rollback — reference
     ``speculative_sampling`` equivalent. Returns numpy int32 [T] (prompt
@@ -354,9 +355,14 @@ def speculative_generate(
     the reference's approx/target/other phase-time split
     (speculative_sampling.py:1937-1962, 2061-2074) at the cost of per-phase
     host round trips — a diagnostic mode; the fused program is the fast
-    path."""
+    path.
+
+    ``tp_mesh``: pass the tensor-parallel mesh the params are sharded over
+    to replace the per-step full-vocab logit all-gather with the
+    tp·k-candidate distributed top-k (ops/sampling.py
+    ``norm_logits_topk_tp``); requires top_k > 0."""
     del pad_token_id
-    scfg = SamplingConfig(temperature, top_k, top_p)
+    scfg = SamplingConfig(temperature, top_k, top_p, tp_mesh=tp_mesh)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)
     if p_len < 2:

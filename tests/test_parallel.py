@@ -127,6 +127,63 @@ def test_sharded_quant_kv_cache_decode():
     assert np.isfinite(np.asarray(logits2, np.float32)).all()
 
 
+def test_tp_topk_sampling_matches_dense_sparse():
+    """norm_logits_topk_tp == norm_logits_topk for sharded logits: same
+    candidate ids, same probs, same ordering (so downstream categorical
+    draws are bit-identical)."""
+    from llmspeculativesampling_tpu.ops.sampling import (
+        SamplingConfig, norm_logits_topk, norm_logits_topk_tp,
+    )
+
+    cfg = SamplingConfig(0.8, 20, 0.9)
+    mesh = make_mesh(dp=1, tp=8)
+    cfg_tp = SamplingConfig(0.8, 20, 0.9, tp_mesh=mesh)
+    logits = jax.random.normal(jax.random.key(0), (3, 4096), jnp.float32) * 4.0
+
+    ref = norm_logits_topk(logits, cfg)
+
+    logits_sh = jax.device_put(logits, NamedSharding(mesh, P(None, TP_AXIS)))
+    out = jax.jit(lambda x: norm_logits_topk_tp(x, cfg_tp))(logits_sh)
+    np.testing.assert_array_equal(np.asarray(out.idx), np.asarray(ref.idx))
+    np.testing.assert_allclose(
+        np.asarray(out.probs), np.asarray(ref.probs), rtol=1e-6, atol=1e-7
+    )
+    # replicated (unsharded) input: same program, still exact
+    out1 = jax.jit(lambda x: norm_logits_topk_tp(x, cfg_tp))(logits)
+    np.testing.assert_array_equal(np.asarray(out1.idx), np.asarray(ref.idx))
+
+
+def test_tp_topk_sampling_avoids_fullwidth_gather():
+    """The compiled TP program's collectives move candidate tuples, never
+    the full vocab row: no all-gather/all-reduce output anywhere near
+    [*, V] size."""
+    from llmspeculativesampling_tpu.ops.sampling import (
+        SamplingConfig, norm_logits_topk_tp,
+    )
+
+    v, tp, k = 32768, 8, 20
+    mesh = make_mesh(dp=1, tp=tp)
+    cfg_tp = SamplingConfig(1.0, k, 0.9, tp_mesh=mesh)
+    sh = NamedSharding(mesh, P(None, TP_AXIS))
+    compiled = (
+        jax.jit(lambda x: norm_logits_topk_tp(x, cfg_tp))
+        .lower(jax.ShapeDtypeStruct((2, v), jnp.float32, sharding=sh))
+        .compile()
+    )
+    hlo = compiled.as_text()
+    import re
+
+    for m in re.finditer(r"(all-gather|all-reduce)[^=]*=\s*\S*\s*(\S+)", hlo):
+        shapes = re.findall(r"f32\[([\d,]*)\]|s32\[([\d,]*)\]", m.group(0))
+        for f32s, s32s in shapes:
+            dims = (f32s or s32s).split(",")
+            n = 1
+            for d in dims:
+                if d:
+                    n *= int(d)
+            assert n <= tp * k * 4, f"wide collective in TP sampling: {m.group(0)}"
+
+
 def test_tp_speculative_generate_end_to_end():
     cfg_t = _llama_cfg(num_layers=3)
     cfg_d = _llama_cfg(num_layers=1)
@@ -147,8 +204,16 @@ def test_tp_speculative_generate_end_to_end():
             eos_token_id=-1, temperature=1.0, top_k=10, top_p=0.9,
             key=jax.random.key(3),
         )
+        # distributed top-k sampling: same candidates, same ordering, same
+        # PRNG stream => bit-identical generation
+        out_tp = speculative_generate(
+            bd, pd_sh, bt, pt_sh, list(range(5, 21)), 10, gamma=3,
+            eos_token_id=-1, temperature=1.0, top_k=10, top_p=0.9,
+            key=jax.random.key(3), tp_mesh=mesh,
+        )
     out = np.asarray(out)
     # the loop may overshoot max_new_tokens by up to gamma (reference
     # while-condition quirk, speculative_sampling.py:1934)
     assert 16 + 10 <= out.shape[0] <= 16 + 10 + 3
     assert (out >= 0).all() and (out < cfg_t.vocab_size).all()
+    np.testing.assert_array_equal(out, np.asarray(out_tp))
