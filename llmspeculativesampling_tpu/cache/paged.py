@@ -1,0 +1,306 @@
+"""Paged KV cache: a shared block pool + per-request block tables.
+
+The slot scheduler (serve/scheduler.py) gives every slot a contiguous
+``max_total_len`` stripe of cache, so HBM is budgeted for the *worst-case*
+length of every slot simultaneously — a 2048-token-capable slot costs 2048
+positions of KV even while serving a 64-token chat turn. This module is
+the vLLM-style TPU answer (and the BASELINE.json north-star item
+"quantized paged KV-cache"): cache positions live in fixed-size **pages**
+drawn from one shared pool, and a request holds only the pages its actual
+length needs. Under a mixed-length workload the same HBM admits far more
+concurrent requests.
+
+Nothing like this exists in the reference — its cache is a per-request
+HF tuple trimmed by tensor slicing (/root/reference/sampling/
+kvcache_model.py:359-436, SURVEY.md §2.2); paging is only possible
+*because* of the static-shape redesign (cache/kvcache.py).
+
+Layout (per model):
+  * pools ``k/v: [L, N_blocks, H_kv, page, D]`` (int8 variant adds
+    per-position scales ``[L, N_blocks, H_kv, page]``) — allocated once;
+  * ``block_tables: [B, max_pages]`` int32 — request row b's position
+    ``p`` lives in pool block ``block_tables[b, p // page]`` at offset
+    ``p % page``;
+  * ``lengths: [B]`` int32 — per-row live positions (the per-row analogue
+    of KVCache.length; rollback is still just a pointer move).
+
+The block *allocator* is host-side (``PageAllocator``): allocation
+happens at request admission, which is already a host decision — the
+device never sees the free list, so every device program stays
+static-shape. Reads/writes on device are gathers/scatters driven by the
+block table; attention either gathers pages into a contiguous view (XLA
+fallback, used on CPU/tests) or DMAs pages directly from the pool via the
+paged flash-decode kernel (kernels/flash_decode.py paged variant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .kvcache import _quantize_kv
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """Dense paged cache. ``k``/``v``: [L, N_blocks, H_kv, page, D];
+    ``block_tables``: [B, max_pages] int32; ``lengths``: [B] int32."""
+
+    k: jax.Array
+    v: jax.Array
+    block_tables: jax.Array
+    lengths: jax.Array
+
+    @property
+    def page(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def batch(self) -> int:
+        return self.block_tables.shape[0]
+
+    @property
+    def max_pages(self) -> int:
+        return self.block_tables.shape[1]
+
+    # per-row analogue of KVCache.length (models read this for positions)
+    @property
+    def length(self) -> jax.Array:
+        return self.lengths
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantPagedKVCache:
+    """Int8 paged cache: pools int8 + fp32 per-(block, head, position)
+    scales — the north-star "quantized paged KV-cache". Same table/length
+    semantics as :class:`PagedKVCache`."""
+
+    k_q: jax.Array  # [L, N, H, page, D] int8
+    v_q: jax.Array
+    k_s: jax.Array  # [L, N, H, page] f32
+    v_s: jax.Array
+    block_tables: jax.Array
+    lengths: jax.Array
+
+    @property
+    def page(self) -> int:
+        return self.k_q.shape[3]
+
+    @property
+    def batch(self) -> int:
+        return self.block_tables.shape[0]
+
+    @property
+    def max_pages(self) -> int:
+        return self.block_tables.shape[1]
+
+    @property
+    def length(self) -> jax.Array:
+        return self.lengths
+
+
+def init_paged_cache(
+    num_layers: int,
+    num_blocks: int,
+    num_kv_heads: int,
+    page: int,
+    head_dim: int,
+    batch: int,
+    max_pages: int,
+    dtype=jnp.bfloat16,
+    quant: bool = False,
+):
+    """Allocate the pool and an all-invalid table (block id ``num_blocks``
+    is the out-of-range sentinel: scatters drop it, gathers clip to a
+    garbage block that masking hides)."""
+    shape = (num_layers, num_blocks, num_kv_heads, page, head_dim)
+    tables = jnp.full((batch, max_pages), num_blocks, jnp.int32)
+    lengths = jnp.zeros((batch,), jnp.int32)
+    if quant:
+        return QuantPagedKVCache(
+            k_q=jnp.zeros(shape, jnp.int8),
+            v_q=jnp.zeros(shape, jnp.int8),
+            k_s=jnp.zeros(shape[:-1], jnp.float32),
+            v_s=jnp.zeros(shape[:-1], jnp.float32),
+            block_tables=tables,
+            lengths=lengths,
+        )
+    return PagedKVCache(
+        k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+        block_tables=tables, lengths=lengths,
+    )
+
+
+def is_paged(cache) -> bool:
+    return isinstance(cache, (PagedKVCache, QuantPagedKVCache))
+
+
+def rollback_rows(cache, new_lengths: jax.Array):
+    """Per-row truncation: the pointer moves, no data does (the paged
+    analogue of kvcache.rollback / reference rollback,
+    kvcache_model.py:359)."""
+    return dataclasses.replace(cache, lengths=jnp.asarray(new_lengths, jnp.int32))
+
+
+# ----------------------------------------------------------------- device ops
+
+def _dest_indices(block_tables, lengths, s_new: int, page: int):
+    """(blk [B,S], off [B,S]) pool coordinates for the next ``s_new``
+    positions of every row. Rows whose table entry is the sentinel yield
+    out-of-range blocks (scatter mode="drop" discards them)."""
+    pos = lengths[:, None] + jnp.arange(s_new, dtype=jnp.int32)[None, :]
+    pidx = pos // page
+    blk = jnp.take_along_axis(
+        block_tables, jnp.clip(pidx, 0, block_tables.shape[1] - 1), axis=1
+    )
+    # positions beyond the table are pushed out of range -> dropped
+    blk = jnp.where(pidx < block_tables.shape[1], blk, jnp.int32(2**30))
+    return blk, pos % page
+
+
+def paged_update_and_read_layer(
+    slices: Tuple[jax.Array, ...],
+    block_tables: jax.Array,
+    lengths: jax.Array,
+    k_new: jax.Array,  # [B, H, S, D]
+    v_new: jax.Array,
+    dtype,
+    gather: bool = True,
+):
+    """Scatter the new block into the layer's pool slices, then (optionally)
+    gather each row's pages into a contiguous [B, H, max_pages*page, D]
+    view for XLA attention. With ``gather=False`` (paged flash kernel path)
+    only the scatter happens and ``k_all/v_all`` are returned as None.
+
+    Dense slices: ``(k_pool, v_pool)``; quant: ``(k_q, k_s, v_q, v_s)``.
+    """
+    b, h, s, d = k_new.shape
+    page = slices[0].shape[2]
+    blk, off = _dest_indices(block_tables, lengths, s, page)
+
+    def scatter(pool, rows):
+        # pool [N, H, page, D?]; rows [B, S, H, D?] -> write (blk, :, off)
+        return pool.at[blk, :, off].set(rows.astype(pool.dtype), mode="drop")
+
+    kt = k_new.transpose(0, 2, 1, 3)  # [B, S, H, D]
+    vt = v_new.transpose(0, 2, 1, 3)
+    if len(slices) == 4:
+        k_q, k_s, v_q, v_s = slices
+        kq, ks = _quantize_kv(kt)
+        vq, vs = _quantize_kv(vt)
+        k_q = scatter(k_q, kq)
+        v_q = scatter(v_q, vq)
+        k_s = k_s.at[blk, :, off].set(ks, mode="drop")
+        v_s = v_s.at[blk, :, off].set(vs, mode="drop")
+        new_slices = (k_q, k_s, v_q, v_s)
+        if not gather:
+            return new_slices, None, None
+        k_all = _gather_view_quant(k_q, k_s, block_tables, dtype)
+        v_all = _gather_view_quant(v_q, v_s, block_tables, dtype)
+        return new_slices, k_all, v_all
+    k_pool, v_pool = slices
+    k_pool = scatter(k_pool, kt)
+    v_pool = scatter(v_pool, vt)
+    if not gather:
+        return (k_pool, v_pool), None, None
+    return (k_pool, v_pool), _gather_view(k_pool, block_tables, dtype), _gather_view(
+        v_pool, block_tables, dtype
+    )
+
+
+def _gather_view(pool: jax.Array, block_tables: jax.Array, dtype) -> jax.Array:
+    """[N, H, page, D] + [B, P] -> [B, H, P*page, D] contiguous view (XLA
+    fallback; the paged flash kernel reads the pool directly instead)."""
+    n = pool.shape[0]
+    g = pool[jnp.clip(block_tables, 0, n - 1)]  # [B, P, H, page, D]
+    b, p, h, pg, d = g.shape
+    return g.transpose(0, 2, 1, 3, 4).reshape(b, h, p * pg, d).astype(dtype)
+
+
+def _gather_view_quant(pool_q, pool_s, block_tables, dtype) -> jax.Array:
+    n = pool_q.shape[0]
+    idx = jnp.clip(block_tables, 0, n - 1)
+    g = pool_q[idx].astype(jnp.float32) * pool_s[idx][..., None]  # [B,P,H,page,D]
+    b, p, h, pg, d = g.shape
+    return g.transpose(0, 2, 1, 3, 4).reshape(b, h, p * pg, d).astype(dtype)
+
+
+def paged_layer_scan_slices(cache):
+    """Per-layer pytree (leading L axis) for ``lax.scan`` — the paged
+    analogue of kvcache.layer_scan_slices."""
+    if isinstance(cache, QuantPagedKVCache):
+        return (cache.k_q, cache.k_s, cache.v_q, cache.v_s)
+    return (cache.k, cache.v)
+
+
+def paged_rebuild(cache, new_slices, new_lengths):
+    if isinstance(cache, QuantPagedKVCache):
+        k_q, k_s, v_q, v_s = new_slices
+        return QuantPagedKVCache(
+            k_q=k_q, v_q=v_q, k_s=k_s, v_s=v_s,
+            block_tables=cache.block_tables,
+            lengths=jnp.asarray(new_lengths, jnp.int32),
+        )
+    return PagedKVCache(
+        k=new_slices[0], v=new_slices[1],
+        block_tables=cache.block_tables,
+        lengths=jnp.asarray(new_lengths, jnp.int32),
+    )
+
+
+def set_row_table(cache, row: jax.Array, table_row: jax.Array, length):
+    """Install a request's block table into row ``row`` (admission) and
+    reset its length. ``table_row``: [max_pages] int32 (sentinel-padded)."""
+    return dataclasses.replace(
+        cache,
+        block_tables=cache.block_tables.at[row].set(table_row),
+        lengths=cache.lengths.at[row].set(jnp.asarray(length, jnp.int32)),
+    )
+
+
+# ------------------------------------------------------------------- host side
+
+class PageAllocator:
+    """Host-side free-list allocator over the pool's block ids.
+
+    Allocation/free happen at request admission/harvest (host decisions
+    already), so device programs never see the free list. Block id
+    ``num_blocks`` (out of range) is the sentinel for unused table slots.
+    """
+
+    def __init__(self, num_blocks: int, page: int, max_pages: int):
+        self.num_blocks = num_blocks
+        self.page = page
+        self.max_pages = max_pages
+        self._free: List[int] = list(range(num_blocks - 1, -1, -1))
+
+    @property
+    def free_blocks(self) -> int:
+        return len(self._free)
+
+    def pages_needed(self, total_len: int) -> int:
+        return -(-total_len // self.page)
+
+    def alloc(self, total_len: int) -> Optional[List[int]]:
+        """Reserve blocks for a request of ``total_len`` max positions;
+        None if the pool can't satisfy it (caller keeps the request
+        queued)."""
+        n = self.pages_needed(total_len)
+        if n > self.max_pages or n > len(self._free):
+            return None
+        return [self._free.pop() for _ in range(n)]
+
+    def free(self, blocks: List[int]) -> None:
+        self._free.extend(reversed(blocks))
+
+    def table_row(self, blocks: List[int]):
+        import numpy as np
+
+        row = np.full((self.max_pages,), self.num_blocks, np.int32)
+        row[: len(blocks)] = blocks
+        return row

@@ -84,12 +84,22 @@ def should_use(
 
 
 def _make_kernel(
-    block_t: int, quant: bool, head_dim: int, folded: bool, hg: int
+    block_t: int, quant: bool, head_dim: int, folded: bool, hg: int,
+    paged: bool = False,
 ):
-    def kernel(
-        len_ref, q_ref, bias_ref, knew_ref, vnew_ref, kc_ref, vc_ref,
-        *rest,
-    ):
+    def kernel(len_ref, *prefetch_and_args):
+        if paged:
+            # paged variant: second scalar-prefetch operand is the block
+            # table [B, P]; chunk j of row b lives in pool block
+            # bt_ref[b, j] instead of cache rows [j*bt, (j+1)*bt)
+            bt_ref, q_ref, bias_ref, knew_ref, vnew_ref, kc_ref, vc_ref, *rest = (
+                prefetch_and_args
+            )
+        else:
+            bt_ref = None
+            q_ref, bias_ref, knew_ref, vnew_ref, kc_ref, vc_ref, *rest = (
+                prefetch_and_args
+            )
         if quant:
             ks_ref, vs_ref, o_ref, k_scr, v_scr, ks_scr, vs_scr, sem = rest
         else:
@@ -177,47 +187,49 @@ def _make_kernel(
         cr = block_t * head_dim // 128 if folded else block_t
 
         def dmas(slot, j):
+            if paged:
+                bid = bt_ref[b, j]
+                k_src = kc_ref.at[bid, pl.ds(g * hg, hg), :, :]
+                v_src = vc_ref.at[bid, pl.ds(g * hg, hg), :, :]
+            else:
+                k_src = kc_ref.at[b, pl.ds(g * hg, hg), pl.ds(j * cr, cr), :]
+                v_src = vc_ref.at[b, pl.ds(g * hg, hg), pl.ds(j * cr, cr), :]
             out = [
-                pltpu.make_async_copy(
-                    kc_ref.at[b, pl.ds(g * hg, hg), pl.ds(j * cr, cr), :],
-                    k_scr.at[slot], sem.at[slot, 0],
-                ),
-                pltpu.make_async_copy(
-                    vc_ref.at[b, pl.ds(g * hg, hg), pl.ds(j * cr, cr), :],
-                    v_scr.at[slot], sem.at[slot, 1],
-                ),
+                pltpu.make_async_copy(k_src, k_scr.at[slot], sem.at[slot, 0]),
+                pltpu.make_async_copy(v_src, v_scr.at[slot], sem.at[slot, 1]),
             ]
             if quant and folded:
                 # scales arrive de-interleaved per part
-                # ([B,Hkv,f,1,S_max/f], see _flash_call); part/head are
-                # major memref dims so the slice keeps the proven
-                # (1, chunk)-shaped DMA pattern per head
+                # ([B,Hkv,f,1,S_max/f] contiguous / [N,H,f,1,page/f] paged,
+                # see _flash_call); part/head are major memref dims so the
+                # slice keeps the proven (1, chunk)-shaped DMA pattern per
+                # head
                 cs = block_t // f
                 for part in range(f):
+                    if paged:
+                        ks_src = ks_ref.at[bt_ref[b, j], pl.ds(g * hg, hg), part, :, :]
+                        vs_src = vs_ref.at[bt_ref[b, j], pl.ds(g * hg, hg), part, :, :]
+                    else:
+                        ks_src = ks_ref.at[b, pl.ds(g * hg, hg), part, :, pl.ds(j * cs, cs)]
+                        vs_src = vs_ref.at[b, pl.ds(g * hg, hg), part, :, pl.ds(j * cs, cs)]
                     out += [
                         pltpu.make_async_copy(
-                            ks_ref.at[b, pl.ds(g * hg, hg), part, :,
-                                      pl.ds(j * cs, cs)],
-                            ks_scr.at[slot, part], sem.at[slot, 2 + 2 * part],
+                            ks_src, ks_scr.at[slot, part], sem.at[slot, 2 + 2 * part],
                         ),
                         pltpu.make_async_copy(
-                            vs_ref.at[b, pl.ds(g * hg, hg), part, :,
-                                      pl.ds(j * cs, cs)],
-                            vs_scr.at[slot, part], sem.at[slot, 3 + 2 * part],
+                            vs_src, vs_scr.at[slot, part], sem.at[slot, 3 + 2 * part],
                         ),
                     ]
             elif quant:
+                if paged:
+                    ks_src = ks_ref.at[bt_ref[b, j], pl.ds(g * hg, hg), :, :]
+                    vs_src = vs_ref.at[bt_ref[b, j], pl.ds(g * hg, hg), :, :]
+                else:
+                    ks_src = ks_ref.at[b, pl.ds(g * hg, hg), :, pl.ds(j * block_t, block_t)]
+                    vs_src = vs_ref.at[b, pl.ds(g * hg, hg), :, pl.ds(j * block_t, block_t)]
                 out += [
-                    pltpu.make_async_copy(
-                        ks_ref.at[b, pl.ds(g * hg, hg), :,
-                                  pl.ds(j * block_t, block_t)],
-                        ks_scr.at[slot], sem.at[slot, 2],
-                    ),
-                    pltpu.make_async_copy(
-                        vs_ref.at[b, pl.ds(g * hg, hg), :,
-                                  pl.ds(j * block_t, block_t)],
-                        vs_scr.at[slot], sem.at[slot, 3],
-                    ),
+                    pltpu.make_async_copy(ks_src, ks_scr.at[slot], sem.at[slot, 2]),
+                    pltpu.make_async_copy(vs_src, vs_scr.at[slot], sem.at[slot, 3]),
                 ]
             return out
 
@@ -467,6 +479,182 @@ def _flash_call(
         ),
         interpret=interpret,
     )(lengths, *args)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret", "quant"))
+def _paged_flash_call(
+    q_grouped,     # [B, Hkv, R, D] scale-folded
+    bias_rows,     # [B, R, S_new] f32 additive
+    k_new, v_new,  # [B, Hkv, S_new, D] compute dtype
+    k_pool, v_pool,      # [N_blocks, Hkv, page, D] (int8 when quant)
+    lengths,       # [B] int32 per-row live positions
+    tables,        # [B, P] int32 block tables
+    k_scales, v_scales,  # [N_blocks, Hkv, page] f32, or None
+    *, block_t: int, interpret: bool, quant: bool,
+):
+    """Paged variant of :func:`_flash_call`: chunk j of row b is DMA'd from
+    pool block ``tables[b, j]`` (block_t == page). Pool stays in HBM; the
+    block table rides the scalar-prefetch channel next to ``lengths``."""
+    bsz, hkv, r, d = q_grouped.shape
+    s_new = k_new.shape[2]
+    kv_dtype = k_pool.dtype
+    nblk, _, page, _ = k_pool.shape
+    assert page == block_t
+
+    folded = d % 128 != 0
+    f = 128 // d if folded else 1
+    if folded:
+        assert 128 % d == 0, d
+        k_pool = k_pool.reshape(nblk, hkv, page * d // 128, 128)
+        v_pool = v_pool.reshape(nblk, hkv, page * d // 128, 128)
+        if quant:
+            def deinterleave(sc):  # [N,H,page] -> [N,H,f,1,page/f]
+                sc = sc.reshape(nblk, hkv, page // f, f)
+                return sc.transpose(0, 1, 3, 2).reshape(nblk, hkv, f, 1, page // f)
+            k_scales = deinterleave(k_scales)
+            v_scales = deinterleave(v_scales)
+    elif quant:
+        k_scales = k_scales.reshape(nblk, hkv, 1, page)
+        v_scales = v_scales.reshape(nblk, hkv, 1, page)
+    chunk_rows = block_t * d // 128 if folded else block_t
+    chunk_lanes = 128 if folded else d
+
+    unit = chunk_rows * chunk_lanes * kv_dtype.itemsize
+    hg = 1
+    for cand in range(hkv, 0, -1):
+        if hkv % cand == 0 and cand * unit <= (1 << 20):
+            hg = cand
+            break
+
+    in_specs = [
+        pl.BlockSpec((1, hg, r, d), lambda b, g, L, T: (b, g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, r, s_new), lambda b, g, L, T: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, s_new, d), lambda b, g, L, T: (b, g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, s_new, d), lambda b, g, L, T: (b, g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+    ]
+    args = [q_grouped, bias_rows, k_new, v_new, k_pool, v_pool]
+    scratch = [
+        pltpu.VMEM((2, hg, chunk_rows, chunk_lanes), kv_dtype),
+        pltpu.VMEM((2, hg, chunk_rows, chunk_lanes), kv_dtype),
+    ]
+    n_sems = 2
+    if quant:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ]
+        args += [k_scales, v_scales]
+        if folded:
+            scratch += [
+                pltpu.VMEM((2, f, hg, 1, block_t // f), jnp.float32),
+                pltpu.VMEM((2, f, hg, 1, block_t // f), jnp.float32),
+            ]
+        else:
+            scratch += [
+                pltpu.VMEM((2, hg, 1, block_t), jnp.float32),
+                pltpu.VMEM((2, hg, 1, block_t), jnp.float32),
+            ]
+        n_sems = 2 + 2 * f
+    scratch.append(pltpu.SemaphoreType.DMA((2, n_sems)))
+
+    return pl.pallas_call(
+        _make_kernel(block_t, quant, d, folded, hg, paged=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bsz, hkv // hg),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, hg, r, d), lambda b, g, L, T: (b, g, 0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hkv, r, d), q_grouped.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, tables, *args)
+
+
+def should_use_paged(
+    s_new: int, page: int, head_dim: int, mode: str = "auto"
+) -> bool:
+    """Trace-time gate for the paged kernel: decode/verify-sized new
+    blocks over 128-multiple pages. Unlike the contiguous gate there is no
+    minimum-cache-size condition — the XLA fallback *materializes* the
+    gathered [B, P*page] view, so the kernel wins whenever it is legal."""
+    flag = os.environ.get("LLMSS_FLASH") or {"on": "1", "off": "0"}.get(mode)
+    if flag == "0":
+        return False
+    dim_ok = head_dim % 128 == 0 or 128 % head_dim == 0
+    ok = s_new <= 32 and page % 128 == 0 and page <= 512 and dim_ok
+    if flag == "1":
+        return ok
+    return ok and jax.default_backend() == "tpu"
+
+
+def paged_flash_decode_attention(
+    q: jax.Array,        # [B, Hq, S_new, D]
+    k_new: jax.Array,    # [B, Hkv, S_new, D]
+    v_new: jax.Array,
+    k_pool: jax.Array,   # [N_blocks, Hkv, page, D]
+    v_pool: jax.Array,
+    block_tables: jax.Array,  # [B, P] int32
+    lengths: jax.Array,       # [B] int32
+    block_bias: jax.Array,    # [B, S_new, S_new] f32 additive
+    *,
+    scale: float,
+    k_scales: Optional[jax.Array] = None,  # [N_blocks, Hkv, page] f32
+    v_scales: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Paged flash-decode attention: prefix KV is fetched page-by-page from
+    the shared pool (cache/paged.py) via the block table, double-buffered,
+    only up to each row's live length; the new block attends from VMEM with
+    the causal/tree ``block_bias``. Returns context [B, Hq, S_new, D]."""
+    bsz, hq, s_new, d = q.shape
+    hkv = k_pool.shape[1]
+    g = hq // hkv
+    page = k_pool.shape[2]
+    quant = k_scales is not None
+    if os.environ.get("LLMSS_FLASH_INTERPRET") == "1":
+        interpret = True
+
+    lengths = jnp.asarray(lengths, jnp.int32).reshape(-1)
+    if k_new.shape[2] == 1:  # Mosaic 1-column new block workaround
+        k_new = jnp.pad(k_new, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        v_new = jnp.pad(v_new, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        block_bias = jnp.pad(
+            block_bias, ((0, 0), (0, 0), (0, 1)), constant_values=_MASK
+        )
+
+    qg = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qg = qg.reshape(bsz, hkv, g * s_new, d)
+    r = g * s_new
+    r_pad = max(8, _round_up(r, 8))
+    if r_pad != r:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
+    bias_rows = jnp.tile(block_bias.astype(jnp.float32), (1, g, 1))
+    if r_pad != r:
+        bias_rows = jnp.pad(
+            bias_rows, ((0, 0), (0, r_pad - r), (0, 0)), constant_values=_MASK
+        )
+
+    # sentinel/unused table entries are never reached (the kernel walks
+    # only cdiv(length, page) chunks) but a clip keeps any out-of-contract
+    # caller from DMA-ing outside the pool
+    tables = jnp.minimum(
+        jnp.asarray(block_tables, jnp.int32), k_pool.shape[0] - 1
+    )
+    out = _paged_flash_call(
+        qg, bias_rows, k_new.astype(q.dtype), v_new.astype(q.dtype),
+        k_pool, v_pool, lengths, tables,
+        k_scales, v_scales, block_t=page, interpret=interpret, quant=quant,
+    )
+    out = out[:, :, :r].reshape(bsz, hkv, g, s_new, d).reshape(bsz, hq, s_new, d)
+    return out
 
 
 def flash_decode_attention(

@@ -25,6 +25,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..cache import paged as paged_cache
 from ..cache.kvcache import (
     KVCache,
     QuantKVCache,
@@ -51,6 +52,36 @@ def block_bias(s_new: int, tree_mask, batch: int) -> jax.Array:
     else:
         vis = tree_mask.astype(bool)
     return jnp.where(vis, 0.0, _MASK_VALUE).astype(jnp.float32)
+
+
+def paged_flash_layer_attention(
+    q, k, v, cache_slices, block_tables, lengths, bias_blk, scale, dtype
+):
+    """One layer's attention via the paged flash kernel: scatter the new
+    block into the shared pool (cache/paged.py), then DMA the prefix
+    page-by-page through the block table — the gathered [B, P*page]
+    contiguous view of the XLA fallback never materializes."""
+    b, s = q.shape[0], q.shape[1]
+    kn = k.transpose(0, 2, 1, 3)
+    vn = v.transpose(0, 2, 1, 3)
+    qh = q.transpose(0, 2, 1, 3)
+    new_slices, _, _ = paged_cache.paged_update_and_read_layer(
+        cache_slices, block_tables, lengths, kn, vn, dtype, gather=False
+    )
+    if len(new_slices) == 4:
+        k_q, k_s, v_q, v_s = new_slices
+        ctx = flash_decode.paged_flash_decode_attention(
+            qh, kn.astype(dtype), vn.astype(dtype), k_q, v_q,
+            block_tables, lengths, bias_blk, scale=scale,
+            k_scales=k_s, v_scales=v_s,
+        )
+    else:
+        k_p, v_p = new_slices
+        ctx = flash_decode.paged_flash_decode_attention(
+            qh, kn.astype(dtype), vn.astype(dtype), k_p, v_p,
+            block_tables, lengths, bias_blk, scale=scale,
+        )
+    return new_slices, ctx.transpose(0, 2, 1, 3).reshape(b, s, -1)
 
 
 def flash_layer_attention(q, k, v, cache_slices, length, bias_blk, scale, dtype):
@@ -121,20 +152,27 @@ def attention_mask(
     full-visibility-on-prefix tree semantics, utils.py:143-144); the new
     block is causal unless ``tree_mask`` [B, S_new, S_new] overrides it;
     positions >= length + S_new are dead.
+
+    ``length`` may be a scalar (all rows share one cache length) or a
+    per-row [B] vector (paged serving batches with heterogeneous lengths).
     """
-    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (s_new, s_max), 1)
-    q_idx = jax.lax.broadcasted_iota(jnp.int32, (s_new, s_max), 0)
-    prefix_vis = kv_pos < length
-    in_block = (kv_pos >= length) & (kv_pos < length + s_new)
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, s_new, s_max), 2)
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (1, s_new, s_max), 1)
+    ln = jnp.asarray(length, jnp.int32).reshape(-1)[:, None, None]  # [1|B,1,1]
+    prefix_vis = kv_pos < ln
+    in_block = (kv_pos >= ln) & (kv_pos < ln + s_new)
     if tree_mask is None:
-        block_vis = in_block & ((kv_pos - length) <= q_idx)
-        return jnp.broadcast_to((prefix_vis | block_vis)[None], (batch, s_new, s_max))
-    # scatter the [B, S_new, S_new] tree mask onto the kv axis at offset `length`
-    pad = jnp.zeros((batch, s_new, s_max), bool)
-    tree_full = jax.lax.dynamic_update_slice(
-        pad, tree_mask.astype(bool), (jnp.int32(0), jnp.int32(0), jnp.asarray(length, jnp.int32))
+        block_vis = in_block & ((kv_pos - ln) <= q_idx)
+        return jnp.broadcast_to(prefix_vis | block_vis, (batch, s_new, s_max))
+    # place the [B, S_new, S_new] tree mask at per-row kv offset `length`
+    # via a clipped gather over the block column (works for scalar and
+    # per-row lengths alike)
+    col = jnp.clip(kv_pos - ln, 0, s_new - 1)  # [1|B, S_new, S_max]
+    col = jnp.broadcast_to(col, (batch, s_new, s_max))
+    tree_full = jnp.take_along_axis(tree_mask.astype(bool), col, axis=2)
+    return jnp.broadcast_to(prefix_vis, (batch, s_new, s_max)) | (
+        jnp.broadcast_to(in_block, (batch, s_new, s_max)) & tree_full
     )
-    return prefix_vis[None] | (in_block[None] & tree_full)
 
 
 def forward(
@@ -149,18 +187,31 @@ def forward(
 
     Writes the S new positions' k/v at ``cache.length`` and returns
     (logits [B, S, V] float32, cache with length += S).
+
+    ``cache`` may be a contiguous :class:`KVCache`/:class:`QuantKVCache`
+    (scalar length, all rows aligned) or a paged
+    ``PagedKVCache``/``QuantPagedKVCache`` (cache/paged.py: shared block
+    pool, per-row block tables and lengths — the serving path).
     """
     b, s = tokens.shape
-    s_max = cache.max_len
+    paged = paged_cache.is_paged(cache)
+    s_max = cache.max_pages * cache.page if paged else cache.max_len
     dtype = cfg.jnp_dtype
 
     if positions is None:
-        positions = cache.length + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+        ln = jnp.asarray(cache.length, jnp.int32)
+        off = ln if ln.ndim == 0 else ln[:, None]
+        positions = off + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
 
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
-    use_flash = flash_decode.should_use(
-        s, s_max, cfg.head_dim, cfg.flash, quant=isinstance(cache, QuantKVCache)
-    )
+    if paged:
+        use_flash = flash_decode.should_use_paged(
+            s, cache.page, cfg.head_dim, cfg.flash
+        )
+    else:
+        use_flash = flash_decode.should_use(
+            s, s_max, cfg.head_dim, cfg.flash, quant=isinstance(cache, QuantKVCache)
+        )
     if use_flash:
         bias_blk = block_bias(s, tree_mask, b)  # [B, S, S]
         bias = None
@@ -182,16 +233,28 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        if use_flash:
+        if use_flash and paged:
+            cache_slices, ctx = paged_flash_layer_attention(
+                q, k, v, cache_slices, cache.block_tables, cache.lengths,
+                bias_blk, scale, dtype,
+            )
+            ctx = ctx.astype(dtype)
+        elif use_flash:
             cache_slices, ctx = flash_layer_attention(
                 q, k, v, cache_slices, cache.length, bias_blk, scale, dtype
             )
             ctx = ctx.astype(dtype)
         else:
-            cache_slices, k_all, v_all = update_and_read_layer(
-                cache_slices, cache.length,
-                k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), dtype,
-            )
+            if paged:
+                cache_slices, k_all, v_all = paged_cache.paged_update_and_read_layer(
+                    cache_slices, cache.block_tables, cache.lengths,
+                    k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), dtype,
+                )
+            else:
+                cache_slices, k_all, v_all = update_and_read_layer(
+                    cache_slices, cache.length,
+                    k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), dtype,
+                )
 
             # GQA as a grouped einsum: q [B, H_kv, G, S, D] against the
             # shared kv head — never materializes an Hq-repeated KV in HBM
@@ -215,14 +278,17 @@ def forward(
         h = h + linear(gate * up, lp["w_down"])
         return h, cache_slices
 
-    h, new_slices = jax.lax.scan(
-        layer_fn, h, (params["layers"], layer_scan_slices(cache))
+    slices0 = (
+        paged_cache.paged_layer_scan_slices(cache) if paged else layer_scan_slices(cache)
     )
+    h, new_slices = jax.lax.scan(layer_fn, h, (params["layers"], slices0))
 
     h = rms_norm(h, params["ln_final"], cfg.rms_norm_eps)
     lm_head = params["embed"] if cfg.tie_embeddings else params["lm_head"]
     logits = lm_head_logits(h, lm_head)
 
+    if paged:
+        return logits, paged_cache.paged_rebuild(cache, new_slices, cache.lengths + s)
     return logits, rebuild(cache, new_slices, cache.length + s)
 
 

@@ -1,0 +1,523 @@
+"""Paged continuous-batching engine: speculative decode over the shared
+block-pool KV cache (cache/paged.py) — the north-star "quantized paged
+KV-cache" serving path.
+
+Relation to serve/scheduler.py (the slotted engine): the slot engine vmaps
+the single-request spec step over lanes, which requires every lane to own
+its cache rows — impossible with one shared pool (functional vmap lanes
+cannot write disjoint pieces of shared state). The paged engine therefore
+runs the draft/verify phases **batch-level** (one batched model forward
+with per-row block tables and lengths, models/llama.py paged path) and
+vmaps only the cache-free accept/resample math, reusing
+``engine.speculative.accept_phase`` verbatim.
+
+What paging buys over slots (measured in scripts/bench_paged.py):
+  * HBM holds Σ(actual request lengths) of KV instead of
+    num_slots × max_total_len — mixed-length workloads admit more
+    concurrent requests at the same memory;
+  * admission control is *byte-accurate*: a request is admitted exactly
+    when its pages fit, instead of when a worst-case-sized slot frees.
+
+Algorithm parity: each row runs the reference ``speculative_sampling``
+loop (speculative_sampling.py:1877-2076) — draft gamma, one verify
+forward, ratio-test accept, residual resample — with identical math to
+``engine.speculative``.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..cache.paged import (
+    PageAllocator,
+    init_paged_cache,
+    rollback_rows,
+    set_row_table,
+)
+from ..engine.speculative import accept_phase
+from ..engine.types import ModelBundle, first_eos_truncate, pad_prompt
+from ..ops.sampling import SamplingConfig, dist_norm
+from .scheduler import Completion, Request
+
+
+class PagedBatchState(NamedTuple):
+    tokens: jax.Array        # [B, T_max]
+    cur_len: jax.Array       # [B]
+    draft_cache: object      # PagedKVCache/QuantPagedKVCache, batch B
+    target_cache: object
+    key: jax.Array           # [B] PRNG keys
+    active: jax.Array        # [B] bool
+    done: jax.Array          # [B] bool
+    target_len: jax.Array    # [B]
+    accepted: jax.Array      # [B]
+    resamples: jax.Array
+    bonus: jax.Array
+    steps: jax.Array
+    acc_rate_sum: jax.Array  # [B] f32
+    acc_len_hist: jax.Array  # [B, max_new_cap]
+
+
+def _rows_window(tokens: jax.Array, starts: jax.Array, width: int) -> jax.Array:
+    """Per-row gather tokens[b, starts[b] : starts[b]+width] -> [B, width]."""
+    idx = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
+    return jnp.take_along_axis(tokens, idx, axis=1)
+
+
+def _draft_phase_batched(bundle, params, scfg, gamma, tokens, cur_len, cache, keys):
+    """Batched analogue of engine.speculative.draft_phase: per-row window
+    re-feed (the paged 'rollback' is the per-row length reset) + gamma-1
+    scanned single-token steps. Returns (tokens', cache', q_stack rows
+    [B, gamma, ...], drafts [B, gamma], keys')."""
+    cfg = bundle.cfg
+    b = tokens.shape[0]
+    cache = rollback_rows(cache, cur_len - 2)
+    first_in = _rows_window(tokens, cur_len - 2, 2)
+    logits, cache = bundle.forward(params, cfg, first_in, cache)
+    q0 = dist_norm(logits[:, -1], scfg)  # [B, ...] dist
+
+    splits = jax.vmap(jax.random.split)(keys)  # [B, 2]
+    keys, k0 = splits[:, 0], splits[:, 1]
+    x0 = jax.vmap(lambda k, d: _d_sample(k, d))(k0, q0)  # [B]
+    tokens = tokens.at[jnp.arange(b), cur_len].set(x0)
+
+    def body(carry, _):
+        cache, last, keys = carry
+        logits, cache = bundle.forward(params, cfg, last[:, None], cache)
+        q = dist_norm(logits[:, 0], scfg)
+        sp = jax.vmap(jax.random.split)(keys)
+        keys, ks = sp[:, 0], sp[:, 1]
+        x = jax.vmap(lambda k, d: _d_sample(k, d))(ks, q)
+        return (cache, x, keys), (q, x)
+
+    if gamma > 1:
+        (cache, _, keys), (q_rest, x_rest) = jax.lax.scan(
+            body, (cache, x0, keys), None, length=gamma - 1
+        )
+        # scan stacks on axis 0: [gamma-1, B, ...] -> row-major [B, gamma, ...]
+        q_stack = jax.tree.map(
+            lambda a, rest: jnp.concatenate([a[:, None], jnp.moveaxis(rest, 0, 1)], axis=1),
+            q0, q_rest,
+        )
+        drafts = jnp.concatenate([x0[:, None], x_rest.T], axis=1)  # [B, gamma]
+        cols = cur_len[:, None] + 1 + jnp.arange(gamma - 1, dtype=jnp.int32)[None, :]
+        tokens = tokens.at[jnp.arange(b)[:, None], cols].set(x_rest.T)
+    else:
+        q_stack = jax.tree.map(lambda a: a[:, None], q0)
+        drafts = x0[:, None]
+    return tokens, cache, q_stack, drafts, keys
+
+
+def _d_sample(key, dist):
+    from ..ops.sampling import dist_sample
+
+    # per-row draw under vmap: dist leaves lose their batch axis here
+    return dist_sample(key, jax.tree.map(lambda x: x[None], dist))[0]
+
+
+def _verify_phase_batched(bundle, params, scfg, gamma, tokens, cur_len, cache):
+    cfg = bundle.cfg
+    cache = rollback_rows(cache, cur_len - 1)
+    vin = _rows_window(tokens, cur_len - 1, gamma + 1)
+    logits, cache = bundle.forward(params, cfg, vin, cache)
+    return dist_norm(logits, scfg), cache  # [B, gamma+1, ...]
+
+
+def _paged_spec_step(
+    bundle_d, bundle_t, params_d, params_t, scfg, gamma, eos_token_id,
+    state: PagedBatchState,
+):
+    tokens, cur_len = state.tokens, state.cur_len
+    b = tokens.shape[0]
+    tokens2, draft_cache, q_stack, drafts, keys = _draft_phase_batched(
+        bundle_d, params_d, scfg, gamma, tokens, cur_len, state.draft_cache, state.key
+    )
+    p_stack, target_cache = _verify_phase_batched(
+        bundle_t, params_t, scfg, gamma, tokens2, cur_len, state.target_cache
+    )
+
+    # accept/resample math is cache-free -> reuse the single-request
+    # accept_phase (engine/speculative.py) vmapped over rows
+    def accept_row(tok_row, cl, q_row, d_row, p_row, key):
+        return accept_phase(
+            scfg, gamma, eos_token_id, tok_row[None], cl, q_row, d_row, p_row,
+            key, None,
+        )
+
+    tok3, new_len, _t, n, all_acc, acc_step, keys2 = jax.vmap(accept_row)(
+        tokens2, cur_len, q_stack, drafts, p_stack, keys
+    )
+    tokens3 = tok3[:, 0]
+
+    pos = jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
+    new_mask = (pos >= cur_len[:, None]) & (pos < new_len[:, None])
+    done_now = jnp.any(new_mask & (tokens3 == eos_token_id), axis=1)
+
+    keep = state.active & jnp.logical_not(state.done)
+
+    def sel(new, old):
+        return jnp.where(keep, new, old)
+
+    col = jnp.minimum(state.steps, state.acc_len_hist.shape[1] - 1)
+    hist = jnp.where(
+        keep[:, None],
+        state.acc_len_hist.at[jnp.arange(b), col].set(n),
+        state.acc_len_hist,
+    )
+    return PagedBatchState(
+        tokens=jnp.where(keep[:, None], tokens3, state.tokens),
+        cur_len=sel(new_len, cur_len),
+        draft_cache=draft_cache,
+        target_cache=target_cache,
+        key=keys2,
+        active=state.active,
+        done=sel(jnp.logical_or(done_now, new_len >= state.target_len), state.done),
+        target_len=state.target_len,
+        accepted=sel(state.accepted + n, state.accepted),
+        resamples=sel(state.resamples + jnp.where(all_acc, 0, 1), state.resamples),
+        bonus=sel(state.bonus + jnp.where(all_acc, 1, 0), state.bonus),
+        steps=sel(state.steps + 1, state.steps),
+        acc_rate_sum=sel(state.acc_rate_sum + acc_step, state.acc_rate_sum),
+        acc_len_hist=hist,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bundle_d", "bundle_t", "gamma", "scfg", "eos_token_id", "n_steps"),
+    donate_argnames=("state",),
+)
+def _paged_chunk(
+    params_d, params_t, state: PagedBatchState, *,
+    bundle_d, bundle_t, gamma: int, scfg: SamplingConfig, eos_token_id: int,
+    n_steps: int,
+):
+    def one(_, s):
+        return _paged_spec_step(
+            bundle_d, bundle_t, params_d, params_t, scfg, gamma, eos_token_id, s
+        )
+
+    state = jax.lax.fori_loop(0, n_steps, one, state)
+    meta = jnp.concatenate([state.cur_len, state.done.astype(jnp.int32)])
+    return state, meta
+
+
+@partial(jax.jit, static_argnames=("bundle_d", "bundle_t"), donate_argnames=("state",))
+def _paged_prefill(
+    params_d, params_t, state: PagedBatchState, rows, tables, prompts, p_lens,
+    max_news, keys, *, bundle_d: ModelBundle, bundle_t: ModelBundle,
+):
+    """Admit K requests in one dispatch: install their block tables, then
+    one batched prefill forward per model writing straight into the shared
+    pools (weights are read once per burst — same batched-admission
+    economics as serve/scheduler.py _prefill_batch). Padding rows carry
+    row index == B (scatters drop) and sentinel tables (pool writes
+    drop)."""
+    kb = rows.shape[0]
+
+    def admit_cache(cache):
+        bt = cache.block_tables.at[rows].set(tables, mode="drop")
+        ln = cache.lengths.at[rows].set(0, mode="drop")
+        return dataclasses.replace(cache, block_tables=bt, lengths=ln)
+
+    d_cache = admit_cache(state.draft_cache)
+    t_cache = admit_cache(state.target_cache)
+
+    # K-row view over the SAME pools: the prefill's pool writes are the
+    # real admission writes (block tables are disjoint by construction)
+    def k_view(cache):
+        return dataclasses.replace(
+            cache,
+            block_tables=tables.astype(jnp.int32),
+            lengths=jnp.zeros((kb,), jnp.int32),
+        )
+
+    _, d_after = bundle_d.forward(params_d, bundle_d.cfg, prompts, k_view(d_cache))
+    _, t_after = bundle_t.forward(params_t, bundle_t.cfg, prompts, k_view(t_cache))
+    d_cache = dataclasses.replace(
+        d_cache, **{k: getattr(d_after, k) for k in _pool_fields(d_after)}
+    )
+    t_cache = dataclasses.replace(
+        t_cache, **{k: getattr(t_after, k) for k in _pool_fields(t_after)}
+    )
+    d_cache = dataclasses.replace(d_cache, lengths=d_cache.lengths.at[rows].set(p_lens, mode="drop"))
+    t_cache = dataclasses.replace(t_cache, lengths=t_cache.lengths.at[rows].set(p_lens, mode="drop"))
+
+    t_max = state.tokens.shape[1]
+    tok_rows = jnp.zeros((kb, t_max), jnp.int32)
+    tok_rows = jax.lax.dynamic_update_slice(tok_rows, prompts, (0, 0))
+    zeros_k = jnp.zeros((kb,), jnp.int32)
+
+    def scat(big, small):
+        return big.at[rows].set(small.astype(big.dtype), mode="drop")
+
+    return PagedBatchState(
+        tokens=scat(state.tokens, tok_rows),
+        cur_len=scat(state.cur_len, p_lens),
+        draft_cache=d_cache,
+        target_cache=t_cache,
+        key=state.key.at[rows].set(keys, mode="drop"),
+        active=scat(state.active, jnp.ones((kb,), bool)),
+        done=scat(state.done, jnp.zeros((kb,), bool)),
+        target_len=scat(state.target_len, p_lens + max_news),
+        accepted=scat(state.accepted, zeros_k),
+        resamples=scat(state.resamples, zeros_k),
+        bonus=scat(state.bonus, zeros_k),
+        steps=scat(state.steps, zeros_k),
+        acc_rate_sum=scat(state.acc_rate_sum, jnp.zeros((kb,), jnp.float32)),
+        acc_len_hist=scat(
+            state.acc_len_hist,
+            jnp.zeros((kb, state.acc_len_hist.shape[1]), jnp.int32),
+        ),
+    )
+
+
+def _pool_fields(cache):
+    return (
+        ("k_q", "k_s", "v_q", "v_s")
+        if hasattr(cache, "k_q")
+        else ("k", "v")
+    )
+
+
+class PagedEngine:
+    """Continuous batching over a paged (optionally int8) KV pool.
+
+    Host scheduler mirrors serve/scheduler.py's: submit -> queue; admit
+    when a batch row AND the request's pages are both free (byte-accurate
+    admission control); decode in ``steps_per_sync``-deep chunks with one
+    packed metadata fetch per chunk; harvest frees the pages.
+    """
+
+    def __init__(
+        self,
+        bundle_d: ModelBundle, params_d,
+        bundle_t: ModelBundle, params_t,
+        *,
+        batch_rows: int = 8,
+        num_blocks: int = 64,
+        page: int = 128,
+        max_pages_per_req: Optional[int] = None,
+        max_new_cap: int = 256,
+        gamma: int = 4,
+        eos_token_id: int = 2,
+        temperature: float = 1.0,
+        top_k: int = 20,
+        top_p: float = 0.9,
+        seed: int = 0,
+        prompt_bucket: int = 64,
+        steps_per_sync: int = 4,
+        kv_quant: bool = False,
+    ):
+        self.bundle_d, self.params_d = bundle_d, params_d
+        self.bundle_t, self.params_t = bundle_t, params_t
+        self.batch_rows = batch_rows
+        self.page = page
+        self.gamma = gamma
+        self.eos_token_id = eos_token_id
+        self.scfg = SamplingConfig(temperature, top_k, top_p)
+        self.prompt_bucket = prompt_bucket
+        self.steps_per_sync = max(1, int(steps_per_sync))
+        self.max_new_cap = max_new_cap
+        max_pages = max_pages_per_req or num_blocks
+        self.allocator = PageAllocator(num_blocks, page, max_pages)
+        self.t_max = max_pages * page
+
+        cfg_d, cfg_t = bundle_d.cfg, bundle_t.cfg
+        b = batch_rows
+        key = jax.random.key(seed)
+        self._admit_key, step_key = jax.random.split(key)
+        self.state = PagedBatchState(
+            tokens=jnp.zeros((b, self.t_max), jnp.int32),
+            cur_len=jnp.full((b,), 2, jnp.int32),
+            draft_cache=init_paged_cache(
+                cfg_d.num_layers, num_blocks, cfg_d.num_kv_heads, page,
+                cfg_d.head_dim, b, max_pages, cfg_d.jnp_dtype, quant=kv_quant,
+            ),
+            target_cache=init_paged_cache(
+                cfg_t.num_layers, num_blocks, cfg_t.num_kv_heads, page,
+                cfg_t.head_dim, b, max_pages, cfg_t.jnp_dtype, quant=kv_quant,
+            ),
+            key=jax.random.split(step_key, b),
+            active=jnp.zeros((b,), bool),
+            done=jnp.ones((b,), bool),
+            target_len=jnp.full((b,), self.t_max, jnp.int32),
+            accepted=jnp.zeros((b,), jnp.int32),
+            resamples=jnp.zeros((b,), jnp.int32),
+            bonus=jnp.zeros((b,), jnp.int32),
+            steps=jnp.zeros((b,), jnp.int32),
+            acc_rate_sum=jnp.zeros((b,), jnp.float32),
+            acc_len_hist=jnp.zeros((b, max_new_cap), jnp.int32),
+        )
+
+        self._next_rid = 0
+        self._pending: collections.deque[Request] = collections.deque()
+        self._row_req: list[Optional[Request]] = [None] * b
+        self._row_blocks: list[Optional[list]] = [None] * b
+        self._row_gen: list[int] = [0] * b
+        self.completions: dict[int, Completion] = {}
+
+    # --------------------------------------------------------------- interface
+    def submit(self, prompt_ids, max_new_tokens: int = 40) -> int:
+        ids = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if ids.shape[0] < 2:
+            raise ValueError("prompt must have at least 2 tokens")
+        max_new = min(int(max_new_tokens), self.max_new_cap)
+        if ids.shape[0] + max_new + self.gamma + 1 > self.t_max:
+            raise ValueError("request exceeds max pages per request")
+        rid = self._next_rid
+        self._next_rid += 1
+        self._pending.append(Request(rid, ids, max_new, time.perf_counter()))
+        return rid
+
+    @property
+    def num_active(self) -> int:
+        return sum(r is not None for r in self._row_req)
+
+    def _admit(self):
+        free_rows = [i for i, r in enumerate(self._row_req) if r is None]
+        while free_rows and self._pending:
+            batch = []
+            bucket = None
+            while free_rows and self._pending and len(batch) < 8:
+                nxt = self._pending[0]
+                padded, p_len = pad_prompt(nxt.prompt, self.prompt_bucket)
+                if bucket is None:
+                    bucket = padded.shape[-1]
+                elif padded.shape[-1] != bucket:
+                    break
+                total = p_len + nxt.max_new_tokens + self.gamma + 1
+                blocks = self.allocator.alloc(total)
+                if blocks is None:
+                    break  # pool full: keep queued (byte-accurate admission)
+                self._pending.popleft()
+                batch.append(
+                    (free_rows.pop(0), nxt, np.asarray(padded).reshape(-1), p_len, blocks)
+                )
+            if not batch:
+                break
+            k = len(batch)
+            kb = 1 << (k - 1).bit_length()
+            rows = np.full((kb,), self.batch_rows, np.int32)
+            tables = np.full(
+                (kb, self.allocator.max_pages), self.allocator.num_blocks, np.int32
+            )
+            prompts = np.zeros((kb, bucket), np.int32)
+            p_lens = np.full((kb,), 2, np.int32)
+            max_news = np.zeros((kb,), np.int32)
+            for j, (row, req, padded, p_len, blocks) in enumerate(batch):
+                rows[j] = row
+                tables[j] = self.allocator.table_row(blocks)
+                prompts[j] = padded
+                p_lens[j] = p_len
+                max_news[j] = req.max_new_tokens
+            keys = jnp.stack([
+                jax.random.fold_in(self._admit_key, batch[j][1].rid)
+                if j < k else jax.random.fold_in(self._admit_key, 2**31 - 1)
+                for j in range(kb)
+            ])
+            self.state = _paged_prefill(
+                self.params_d, self.params_t, self.state,
+                jnp.asarray(rows), jnp.asarray(tables), jnp.asarray(prompts),
+                jnp.asarray(p_lens), jnp.asarray(max_news), keys,
+                bundle_d=self.bundle_d, bundle_t=self.bundle_t,
+            )
+            now = time.perf_counter()
+            for row, req, _, _, blocks in batch:
+                req.prefill_time = now
+                self._row_req[row] = req
+                self._row_blocks[row] = blocks
+                self._row_gen[row] += 1
+
+    def _harvest(self, done: np.ndarray, cur_len: np.ndarray, gens: tuple):
+        state = self.state
+        fin = [i for i, r in enumerate(self._row_req)
+               if r is not None and done[i] and gens[i] == self._row_gen[i]]
+        if not fin:
+            return
+        toks_f, steps_f, hist_f, accr_f, acc_f, res_f, bon_f = jax.device_get((
+            state.tokens, state.steps, state.acc_len_hist, state.acc_rate_sum,
+            state.accepted, state.resamples, state.bonus,
+        ))
+        for row in fin:
+            req = self._row_req[row]
+            p_len = req.prompt.shape[0]
+            out = first_eos_truncate(
+                toks_f[row], p_len, int(cur_len[row]), self.eos_token_id
+            )
+            steps = int(steps_f[row])
+            drafted = steps * self.gamma
+            now = time.perf_counter()
+            details = {
+                "ttft_s": (req.prefill_time or now) - req.submit_time,
+                "latency_s": now - req.submit_time,
+                "acc_len": np.asarray(hist_f[row])[:steps].tolist(),
+                "acc_rate": float(accr_f[row]) / max(drafted, 1),
+                "target_call_times": steps,
+                "approx_call_times": steps,
+                "accepted_count": int(acc_f[row]),
+                "resample_count": int(res_f[row]),
+                "target_sample_count": int(bon_f[row]),
+                "tokens_generated": len(out) - p_len,
+            }
+            self.completions[req.rid] = Completion(req.rid, out, p_len, details)
+            self.allocator.free(self._row_blocks[row])
+            self._row_req[row] = None
+            self._row_blocks[row] = None
+            self.state = self.state._replace(
+                active=self.state.active.at[jnp.asarray(row)].set(False)
+            )
+
+    def step(self) -> int:
+        self._admit()
+        if self.num_active:
+            self.state, meta = _paged_chunk(
+                self.params_d, self.params_t, self.state,
+                bundle_d=self.bundle_d, bundle_t=self.bundle_t,
+                gamma=self.gamma, scfg=self.scfg,
+                eos_token_id=self.eos_token_id, n_steps=self.steps_per_sync,
+            )
+            m = np.asarray(jax.device_get(meta))
+            b = self.batch_rows
+            self._harvest(m[b:].astype(bool), m[:b], tuple(self._row_gen))
+        return self.num_active
+
+    def run_until_idle(self, max_steps: int = 10_000):
+        """Drain with the one-chunk-deep pipeline (dispatch chunk k+1
+        before reading chunk k's metadata — see serve/scheduler.py)."""
+        steps = 0
+        inflight = None
+        while steps < max_steps:
+            self._admit()
+            new_inflight = None
+            if self.num_active:
+                self.state, meta = _paged_chunk(
+                    self.params_d, self.params_t, self.state,
+                    bundle_d=self.bundle_d, bundle_t=self.bundle_t,
+                    gamma=self.gamma, scfg=self.scfg,
+                    eos_token_id=self.eos_token_id, n_steps=self.steps_per_sync,
+                )
+                steps += 1
+                try:
+                    meta.copy_to_host_async()
+                except Exception:
+                    pass
+                new_inflight = (meta, tuple(self._row_gen))
+            if inflight is not None:
+                m = np.asarray(inflight[0])
+                b = self.batch_rows
+                self._harvest(m[b:].astype(bool), m[:b], inflight[1])
+            inflight = new_inflight
+            if inflight is None and not self._pending and not self.num_active:
+                break
+        return steps
+
+    def result(self, rid: int) -> Optional[Completion]:
+        return self.completions.pop(rid, None)
