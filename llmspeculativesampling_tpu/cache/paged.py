@@ -182,10 +182,20 @@ def paged_update_and_read_layer(
     b, h, s, d = k_new.shape
     page = slices[0].shape[2]
     blk, off = _dest_indices(block_tables, lengths, s, page)
+    # Index the head dim explicitly (window = D only, or scalar for the
+    # scales): a scatter whose update window is (H, D) — two NON-adjacent
+    # pool dims — makes XLA's layout assignment prefer a transposed pool
+    # layout ({4,2,3,1,0}: physical [L,N,page,H,D]), which conflicts with
+    # the paged flash kernel's default-layout operand and costs two live
+    # full-pool copies per program (measured: 2x800 MB at 13B geometry).
+    # Per-(position, head) points with a D-row window keep the default
+    # layout optimal for both.
+    h_idx = jnp.arange(h, dtype=jnp.int32)[None, None, :]
+    blk3, off3 = blk[:, :, None], off[:, :, None]
 
     def scatter(pool, rows):
-        # pool [N, H, page, D?]; rows [B, S, H, D?] -> write (blk, :, off)
-        return pool.at[blk, :, off].set(rows.astype(pool.dtype), mode="drop")
+        # pool [N, H, page, D?]; rows [B, S, H, D?] -> write (blk, h, off)
+        return pool.at[blk3, h_idx, off3].set(rows.astype(pool.dtype), mode="drop")
 
     kt = k_new.transpose(0, 2, 1, 3)  # [B, S, H, D]
     vt = v_new.transpose(0, 2, 1, 3)
@@ -195,8 +205,8 @@ def paged_update_and_read_layer(
         vq, vs = _quantize_kv(vt)
         k_q = scatter(k_q, kq)
         v_q = scatter(v_q, vq)
-        k_s = k_s.at[blk, :, off].set(ks, mode="drop")
-        v_s = v_s.at[blk, :, off].set(vs, mode="drop")
+        k_s = k_s.at[blk3, h_idx, off3].set(ks, mode="drop")
+        v_s = v_s.at[blk3, h_idx, off3].set(vs, mode="drop")
         new_slices = (k_q, k_s, v_q, v_s)
         if not gather:
             return new_slices, None, None
@@ -210,6 +220,47 @@ def paged_update_and_read_layer(
         return (k_pool, v_pool), None, None
     return (k_pool, v_pool), _gather_view(k_pool, block_tables, dtype), _gather_view(
         v_pool, block_tables, dtype
+    )
+
+
+def paged_write_layers(cache, k_stack: jax.Array, v_stack: jax.Array):
+    """One deferred scatter of ALL layers' new k/v ``[L, B, S, H_kv, D]``
+    into the pools at each row's next ``S`` positions.
+
+    This exists so the model's layer scan can keep the pools READ-ONLY:
+    a per-layer scatter inside ``lax.scan`` makes the stacked pool both a
+    scan input and a scan output, and (with the flash kernel's
+    custom-call in between) XLA cannot alias the two — it holds TWO live
+    full-pool buffers (measured: 2 x 800 MB at Llama-2-13B geometry,
+    the difference between fitting on one v5e chip and OOM). The flash
+    kernel never reads the new block from the pool (it attends to it in
+    VMEM), so the write can happen once, after the scan, in-place.
+
+    Returns the cache with pools updated; ``lengths`` unchanged (the
+    caller advances them via :func:`paged_rebuild` / ``dataclasses.replace``).
+    """
+    l, b, s, hh, d = k_stack.shape
+    blk, off = _dest_indices(cache.block_tables, cache.lengths, s, cache.page)
+    l_idx = jnp.arange(l, dtype=jnp.int32)[:, None, None, None]
+    h_idx = jnp.arange(hh, dtype=jnp.int32)[None, None, None, :]
+    blk4, off4 = blk[None, :, :, None], off[None, :, :, None]
+
+    def scat(pool, rows):
+        return pool.at[l_idx, blk4, h_idx, off4].set(
+            rows.astype(pool.dtype), mode="drop"
+        )
+
+    if isinstance(cache, QuantPagedKVCache):
+        kq, ks = _quantize_kv(k_stack)
+        vq, vs = _quantize_kv(v_stack)
+        return dataclasses.replace(
+            cache,
+            k_q=scat(cache.k_q, kq), v_q=scat(cache.v_q, vq),
+            k_s=cache.k_s.at[l_idx, blk4, h_idx, off4].set(ks, mode="drop"),
+            v_s=cache.v_s.at[l_idx, blk4, h_idx, off4].set(vs, mode="drop"),
+        )
+    return dataclasses.replace(
+        cache, k=scat(cache.k, k_stack), v=scat(cache.v, v_stack)
     )
 
 
@@ -304,3 +355,141 @@ class PageAllocator:
         row = np.full((self.max_pages,), self.num_blocks, np.int32)
         row[: len(blocks)] = blocks
         return row
+
+
+def prompt_page_hashes(prompt_ids, page: int, reserve_tail: int = 2) -> List[bytes]:
+    """Chained content hashes of a prompt's *shareable* full pages.
+
+    Page ``i``'s hash covers every token up to position ``(i+1)*page`` (a
+    chain — a page is only reusable under an identical full prefix, which
+    also makes the absolute RoPE positions match). The last
+    ``reserve_tail`` prompt positions are never shareable: the draft
+    phase re-feeds ``cur_len - 2`` onward (serve/paged.py
+    _draft_phase_batched), re-writing those positions in pages the
+    request must own exclusively.
+    """
+    import hashlib
+
+    import numpy as np
+
+    ids = np.asarray(prompt_ids, np.int32).reshape(-1)
+    n_shareable = max(ids.shape[0] - reserve_tail, 0) // page
+    out: List[bytes] = []
+    h = hashlib.sha256()
+    for i in range(n_shareable):
+        h.update(ids[i * page : (i + 1) * page].tobytes())
+        out.append(h.digest())
+    return out
+
+
+class SharedPageAllocator(PageAllocator):
+    """Refcounted allocator with a prefix-page registry (vLLM-style
+    automatic prefix caching, TPU-host edition).
+
+    A request's leading full prompt pages may be SHARED with earlier
+    requests whose prompt has the same prefix (chained content hash ==
+    same tokens AND same absolute positions): ``lookup`` returns the
+    longest cached page chain to reference instead of recomputing its KV.
+    Freed registered pages are not returned to the free list but parked
+    in an LRU *evictable* pool, reclaimed only under allocation pressure —
+    so a hot system prompt's KV survives between requests.
+
+    Everything is host-side bookkeeping over block ids; device programs
+    still only ever see block tables.
+    """
+
+    def __init__(self, num_blocks: int, page: int, max_pages: int):
+        super().__init__(num_blocks, page, max_pages)
+        self._ref = {}            # block -> live refcount
+        self._by_hash = {}        # page-chain hash -> block
+        self._block_hash = {}     # block -> its registry hash
+        self._evictable = {}      # block -> None; dict order = LRU
+        self.hits = 0             # pages served from the registry
+        self.misses = 0           # shareable pages that had to compute
+
+    # ---- capacity ---------------------------------------------------
+    @property
+    def available_blocks(self) -> int:
+        return len(self._free) + len(self._evictable)
+
+    def _take_block(self) -> Optional[int]:
+        if self._free:
+            return self._free.pop()
+        if self._evictable:
+            blk = next(iter(self._evictable))  # LRU = oldest insertion
+            del self._evictable[blk]
+            h = self._block_hash.pop(blk, None)
+            if h is not None:
+                self._by_hash.pop(h, None)
+            return blk
+        return None
+
+    # ---- admission --------------------------------------------------
+    def lookup(self, hashes: List[bytes]) -> List[int]:
+        """Longest prefix of ``hashes`` present in the registry -> blocks."""
+        chain: List[int] = []
+        for h in hashes:
+            blk = self._by_hash.get(h)
+            if blk is None:
+                break
+            chain.append(blk)
+        return chain
+
+    def alloc_shared(
+        self, total_len: int, hashes: List[bytes]
+    ) -> Optional[Tuple[List[int], int]]:
+        """Reserve pages for a request, reusing the longest cached prefix
+        chain. Returns ``(blocks, cached_len)`` — the first
+        ``cached_len // page`` blocks are shared (their KV already sits in
+        the pool); the rest are fresh. None if capacity is short."""
+        n = self.pages_needed(total_len)
+        if n > self.max_pages:
+            return None
+        shared = self.lookup(hashes)[:n]
+        n_own = n - len(shared)
+        if n_own > self.available_blocks:
+            return None
+        blocks = []
+        for blk in shared:
+            # revive from evictable if parked; bump ref
+            self._evictable.pop(blk, None)
+            self._ref[blk] = self._ref.get(blk, 0) + 1
+            blocks.append(blk)
+        for _ in range(n_own):
+            blk = self._take_block()
+            assert blk is not None  # guarded by available_blocks above
+            self._ref[blk] = 1
+            blocks.append(blk)
+        self.hits += len(shared)
+        self.misses += max(min(len(hashes), n) - len(shared), 0)
+        return blocks, len(shared) * self.page
+
+    def alloc(self, total_len: int) -> Optional[List[int]]:
+        """PageAllocator-compatible allocation (no sharing)."""
+        got = self.alloc_shared(total_len, [])
+        return got[0] if got is not None else None
+
+    def register(self, hashes: List[bytes], blocks: List[int]) -> None:
+        """Publish a request's computed prefix pages (block ``i`` holds
+        the page whose chain hash is ``hashes[i]``). First writer wins —
+        a concurrent identical prompt keeps its private copy unpublished."""
+        for h, blk in zip(hashes, blocks):
+            if h in self._by_hash or blk in self._block_hash:
+                continue
+            self._by_hash[h] = blk
+            self._block_hash[blk] = h
+
+    def free(self, blocks: List[int]) -> None:
+        """Drop one reference per block; registered blocks park in the
+        evictable LRU instead of the free list."""
+        for blk in blocks:
+            r = self._ref.get(blk, 1) - 1
+            if r > 0:
+                self._ref[blk] = r
+                continue
+            self._ref.pop(blk, None)
+            if blk in self._block_hash:
+                self._evictable.pop(blk, None)
+                self._evictable[blk] = None  # most-recently-used position
+            else:
+                self._free.append(blk)

@@ -579,7 +579,7 @@ def _paged_flash_call(
 
 
 def should_use_paged(
-    s_new: int, page: int, head_dim: int, mode: str = "auto"
+    s_new: int, page: int, head_dim: int, mode: str = "auto", quant: bool = False
 ) -> bool:
     """Trace-time gate for the paged kernel: decode/verify-sized new
     blocks over 128-multiple pages. Unlike the contiguous gate there is no
@@ -589,6 +589,13 @@ def should_use_paged(
     if flag == "0":
         return False
     dim_ok = head_dim % 128 == 0 or 128 % head_dim == 0
+    if quant and head_dim < 128 and dim_ok:
+        # lane-folded int8 pools: the de-interleaved per-fold scale view is
+        # [N, H, f, 1, page/f]; Mosaic HBM slices need the minor dim
+        # 128-aligned, so page/f (f = 128/D) must be a lane multiple —
+        # e.g. D=64 needs page >= 256 (page=128 fails to compile)
+        if (page // (128 // head_dim)) % 128 != 0:
+            return False
     ok = s_new <= 32 and page % 128 == 0 and page <= 512 and dim_ok
     if flag == "1":
         return ok

@@ -20,6 +20,7 @@ Design:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import jax
@@ -57,31 +58,34 @@ def block_bias(s_new: int, tree_mask, batch: int) -> jax.Array:
 def paged_flash_layer_attention(
     q, k, v, cache_slices, block_tables, lengths, bias_blk, scale, dtype
 ):
-    """One layer's attention via the paged flash kernel: scatter the new
-    block into the shared pool (cache/paged.py), then DMA the prefix
+    """One layer's attention via the paged flash kernel: DMA the prefix
     page-by-page through the block table — the gathered [B, P*page]
-    contiguous view of the XLA fallback never materializes."""
+    contiguous view of the XLA fallback never materializes.
+
+    The pool slices are READ-ONLY here: the kernel attends to the new
+    block from VMEM, so the pool write is deferred to one batched
+    all-layers scatter after the layer scan
+    (cache/paged.py::paged_write_layers) — keeping the stacked pool a
+    pure scan input, which XLA holds in a single HBM buffer (a per-layer
+    in-scan scatter forces a second live copy of the whole pool)."""
     b, s = q.shape[0], q.shape[1]
     kn = k.transpose(0, 2, 1, 3)
     vn = v.transpose(0, 2, 1, 3)
     qh = q.transpose(0, 2, 1, 3)
-    new_slices, _, _ = paged_cache.paged_update_and_read_layer(
-        cache_slices, block_tables, lengths, kn, vn, dtype, gather=False
-    )
-    if len(new_slices) == 4:
-        k_q, k_s, v_q, v_s = new_slices
+    if len(cache_slices) == 4:
+        k_q, k_s, v_q, v_s = cache_slices
         ctx = flash_decode.paged_flash_decode_attention(
             qh, kn.astype(dtype), vn.astype(dtype), k_q, v_q,
             block_tables, lengths, bias_blk, scale=scale,
             k_scales=k_s, v_scales=v_s,
         )
     else:
-        k_p, v_p = new_slices
+        k_p, v_p = cache_slices
         ctx = flash_decode.paged_flash_decode_attention(
             qh, kn.astype(dtype), vn.astype(dtype), k_p, v_p,
             block_tables, lengths, bias_blk, scale=scale,
         )
-    return new_slices, ctx.transpose(0, 2, 1, 3).reshape(b, s, -1)
+    return ctx.transpose(0, 2, 1, 3).reshape(b, s, -1)
 
 
 def flash_layer_attention(q, k, v, cache_slices, length, bias_blk, scale, dtype):
@@ -182,6 +186,7 @@ def forward(
     cache: KVCache,
     positions: Optional[jax.Array] = None,
     tree_mask: Optional[jax.Array] = None,
+    paged_prefill: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Run the decoder over ``tokens`` [B, S] given ``cache``.
 
@@ -192,6 +197,12 @@ def forward(
     (scalar length, all rows aligned) or a paged
     ``PagedKVCache``/``QuantPagedKVCache`` (cache/paged.py: shared block
     pool, per-row block tables and lengths — the serving path).
+
+    ``paged_prefill=True`` (paged caches only) asserts every row's cache
+    is empty (lengths == 0): attention runs block-only (pure causal self
+    attention, no pool reads at all) and the pool write happens as one
+    deferred all-layers scatter — the path serve/paged.py admissions
+    take.
     """
     b, s = tokens.shape
     paged = paged_cache.is_paged(cache)
@@ -205,14 +216,24 @@ def forward(
 
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
     if paged:
-        use_flash = flash_decode.should_use_paged(
-            s, cache.page, cfg.head_dim, cfg.flash
+        use_flash = not paged_prefill and flash_decode.should_use_paged(
+            s, cache.page, cfg.head_dim, cfg.flash,
+            quant=isinstance(cache, paged_cache.QuantPagedKVCache),
         )
     else:
         use_flash = flash_decode.should_use(
             s, s_max, cfg.head_dim, cfg.flash, quant=isinstance(cache, QuantKVCache)
         )
-    if use_flash:
+    # Paged flash decode and paged prefill never mutate the pool inside
+    # the layer scan: the new k/v stack rides the scan as ys and is
+    # scattered once after it (paged_write_layers). A per-layer in-scan
+    # scatter makes the stacked pool BOTH a scan input and a scan output
+    # and XLA holds two live full-pool copies (measured 2 x 800 MB at 13B
+    # geometry, write-only or not). The prefill stack costs
+    # L*B*S_bucket*H*D*4 bytes, so admissions are token-budgeted
+    # (serve/paged.py prefill_token_budget).
+    defer_write = paged and (use_flash or paged_prefill)
+    if use_flash or paged_prefill:
         bias_blk = block_bias(s, tree_mask, b)  # [B, S, S]
         bias = None
     else:
@@ -233,8 +254,27 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        if use_flash and paged:
-            cache_slices, ctx = paged_flash_layer_attention(
+        if paged and paged_prefill:
+            # block-only causal self-attention: rows are empty (lengths
+            # all 0), so the pool contributes nothing — no reads, write
+            # deferred to the one post-scan scatter
+            qh = q.transpose(0, 2, 1, 3).reshape(
+                b, cfg.num_kv_heads, n_rep, s, cfg.head_dim
+            )
+            kh = k.transpose(0, 2, 1, 3)  # [B, H_kv, S, D]
+            vh = v.transpose(0, 2, 1, 3)
+            scores = jnp.einsum(
+                "bhgsd,bhtd->bhgst", qh, kh, preferred_element_type=jnp.float32
+            )
+            scores = scores * scale + bias_blk[:, None, None]
+            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+            ctx = jnp.einsum(
+                "bhgst,bhtd->bhgsd", probs, vh, preferred_element_type=jnp.float32
+            )
+            ctx = ctx.astype(dtype).reshape(b, cfg.num_heads, s, cfg.head_dim)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
+        elif use_flash and paged:
+            ctx = paged_flash_layer_attention(
                 q, k, v, cache_slices, cache.block_tables, cache.lengths,
                 bias_blk, scale, dtype,
             )
@@ -276,6 +316,10 @@ def forward(
         gate = jax.nn.silu(linear(r, lp["w_gate"]).astype(jnp.float32)).astype(dtype)
         up = linear(r, lp["w_up"])
         h = h + linear(gate * up, lp["w_down"])
+        if defer_write:
+            # stack the post-rope new k/v [B, S, H_kv, D] for the one
+            # deferred pool write; the pool slices stay scan-read-only
+            return h, (k, v)
         return h, cache_slices
 
     slices0 = (
@@ -287,6 +331,12 @@ def forward(
     lm_head = params["embed"] if cfg.tie_embeddings else params["lm_head"]
     logits = lm_head_logits(h, lm_head)
 
+    if defer_write:
+        k_stack, v_stack = new_slices  # [L, B, S, H_kv, D]
+        cache = paged_cache.paged_write_layers(cache, k_stack, v_stack)
+        return logits, dataclasses.replace(
+            cache, lengths=jnp.asarray(cache.lengths + s, jnp.int32)
+        )
     if paged:
         return logits, paged_cache.paged_rebuild(cache, new_slices, cache.lengths + s)
     return logits, rebuild(cache, new_slices, cache.length + s)

@@ -38,7 +38,9 @@ import jax.numpy as jnp
 
 from ..cache.paged import (
     PageAllocator,
+    SharedPageAllocator,
     init_paged_cache,
+    prompt_page_hashes,
     rollback_rows,
     set_row_table,
 )
@@ -209,46 +211,20 @@ def _paged_chunk(
     return state, meta
 
 
-@partial(jax.jit, static_argnames=("bundle_d", "bundle_t"), donate_argnames=("state",))
-def _paged_prefill(
-    params_d, params_t, state: PagedBatchState, rows, tables, prompts, p_lens,
-    max_news, keys, *, bundle_d: ModelBundle, bundle_t: ModelBundle,
-):
-    """Admit K requests in one dispatch: install their block tables, then
-    one batched prefill forward per model writing straight into the shared
-    pools (weights are read once per burst — same batched-admission
-    economics as serve/scheduler.py _prefill_batch). Padding rows carry
-    row index == B (scatters drop) and sentinel tables (pool writes
-    drop)."""
+def _install_state(
+    state: PagedBatchState, rows, tables, prompts, p_lens, max_news, keys,
+    d_cache, t_cache,
+) -> PagedBatchState:
+    """Install K admitted rows' scheduler metadata (tokens, lengths, PRNG
+    keys, activity flags) around already-updated caches. Padding rows
+    carry row index == B (scatters drop)."""
     kb = rows.shape[0]
-
-    def admit_cache(cache):
-        bt = cache.block_tables.at[rows].set(tables, mode="drop")
-        ln = cache.lengths.at[rows].set(0, mode="drop")
-        return dataclasses.replace(cache, block_tables=bt, lengths=ln)
-
-    d_cache = admit_cache(state.draft_cache)
-    t_cache = admit_cache(state.target_cache)
-
-    # K-row view over the SAME pools: the prefill's pool writes are the
-    # real admission writes (block tables are disjoint by construction)
-    def k_view(cache):
-        return dataclasses.replace(
-            cache,
-            block_tables=tables.astype(jnp.int32),
-            lengths=jnp.zeros((kb,), jnp.int32),
-        )
-
-    _, d_after = bundle_d.forward(params_d, bundle_d.cfg, prompts, k_view(d_cache))
-    _, t_after = bundle_t.forward(params_t, bundle_t.cfg, prompts, k_view(t_cache))
     d_cache = dataclasses.replace(
-        d_cache, **{k: getattr(d_after, k) for k in _pool_fields(d_after)}
+        d_cache, lengths=d_cache.lengths.at[rows].set(p_lens, mode="drop")
     )
     t_cache = dataclasses.replace(
-        t_cache, **{k: getattr(t_after, k) for k in _pool_fields(t_after)}
+        t_cache, lengths=t_cache.lengths.at[rows].set(p_lens, mode="drop")
     )
-    d_cache = dataclasses.replace(d_cache, lengths=d_cache.lengths.at[rows].set(p_lens, mode="drop"))
-    t_cache = dataclasses.replace(t_cache, lengths=t_cache.lengths.at[rows].set(p_lens, mode="drop"))
 
     t_max = state.tokens.shape[1]
     tok_rows = jnp.zeros((kb, t_max), jnp.int32)
@@ -279,6 +255,99 @@ def _paged_prefill(
     )
 
 
+def _admit_tables(state, rows, tables):
+    def admit_cache(cache):
+        bt = cache.block_tables.at[rows].set(tables, mode="drop")
+        ln = cache.lengths.at[rows].set(0, mode="drop")
+        return dataclasses.replace(cache, block_tables=bt, lengths=ln)
+
+    return admit_cache(state.draft_cache), admit_cache(state.target_cache)
+
+
+def _transplant(cache, after):
+    return dataclasses.replace(
+        cache, **{k: getattr(after, k) for k in _pool_fields(after)}
+    )
+
+
+@partial(jax.jit, static_argnames=("bundle_d", "bundle_t"), donate_argnames=("state",))
+def _paged_prefill(
+    params_d, params_t, state: PagedBatchState, rows, tables, prompts, p_lens,
+    max_news, keys, *, bundle_d: ModelBundle, bundle_t: ModelBundle,
+):
+    """Admit K requests in one dispatch: install their block tables, then
+    one batched prefill forward per model writing straight into the shared
+    pools (weights are read once per burst — same batched-admission
+    economics as serve/scheduler.py _prefill_batch). Padding rows carry
+    row index == B (scatters drop) and sentinel tables (pool writes
+    drop)."""
+    kb = rows.shape[0]
+    d_cache, t_cache = _admit_tables(state, rows, tables)
+
+    # K-row view over the SAME pools: the prefill's pool writes are the
+    # real admission writes (block tables are disjoint by construction)
+    def k_view(cache):
+        return dataclasses.replace(
+            cache,
+            block_tables=tables.astype(jnp.int32),
+            lengths=jnp.zeros((kb,), jnp.int32),
+        )
+
+    # paged_prefill: rows are empty -> block-only attention + one deferred
+    # all-layers pool write (no pool reads; no in-scan pool mutation)
+    _, d_after = bundle_d.forward(
+        params_d, bundle_d.cfg, prompts, k_view(d_cache), paged_prefill=True
+    )
+    _, t_after = bundle_t.forward(
+        params_t, bundle_t.cfg, prompts, k_view(t_cache), paged_prefill=True
+    )
+    return _install_state(
+        state, rows, tables, prompts, p_lens, max_news, keys,
+        _transplant(d_cache, d_after), _transplant(t_cache, t_after),
+    )
+
+
+@partial(jax.jit, static_argnames=("bundle_d", "bundle_t"), donate_argnames=("state",))
+def _paged_extend_chunk(
+    params_d, params_t, state: PagedBatchState, tables, lens_now, window,
+    *, bundle_d: ModelBundle, bundle_t: ModelBundle,
+):
+    """One chunked-prefill step for prefix-cache-hit admissions: run both
+    models over ``window`` [KB, W] with the rows' caches at ``lens_now``
+    (the shared-prefix boundary, then advancing W per chunk). Uses the
+    normal paged decode path — the flash kernel DMAs the cached prefix
+    pages, and the new KV lands via the deferred post-scan write. Padding
+    rows carry sentinel tables (writes dropped)."""
+    kb = tables.shape[0]
+
+    def k_view(cache):
+        return dataclasses.replace(
+            cache,
+            block_tables=tables.astype(jnp.int32),
+            lengths=jnp.asarray(lens_now, jnp.int32),
+        )
+
+    _, d_after = bundle_d.forward(params_d, bundle_d.cfg, window, k_view(state.draft_cache))
+    _, t_after = bundle_t.forward(params_t, bundle_t.cfg, window, k_view(state.target_cache))
+    return state._replace(
+        draft_cache=_transplant(state.draft_cache, d_after),
+        target_cache=_transplant(state.target_cache, t_after),
+    )
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def _paged_finalize(
+    state: PagedBatchState, rows, tables, prompts, p_lens, max_news, keys,
+):
+    """Install metadata for rows whose KV was already computed (prefix
+    cache hit + extend chunks): like _paged_prefill without the model
+    forwards."""
+    d_cache, t_cache = _admit_tables(state, rows, tables)
+    return _install_state(
+        state, rows, tables, prompts, p_lens, max_news, keys, d_cache, t_cache
+    )
+
+
 def _pool_fields(cache):
     return (
         ("k_q", "k_s", "v_q", "v_s")
@@ -294,6 +363,14 @@ class PagedEngine:
     when a batch row AND the request's pages are both free (byte-accurate
     admission control); decode in ``steps_per_sync``-deep chunks with one
     packed metadata fetch per chunk; harvest frees the pages.
+
+    ``prefix_cache=True`` turns on automatic prefix caching
+    (cache/paged.py::SharedPageAllocator): requests whose prompt repeats
+    an earlier prompt's page-aligned prefix reference the already-computed
+    KV pages instead of recomputing them — admission then only runs the
+    suffix through ``extend_chunk``-token chunked prefill
+    (_paged_extend_chunk). Hot system prompts cost one prefill ever
+    (until evicted under pool pressure).
     """
 
     def __init__(
@@ -315,6 +392,9 @@ class PagedEngine:
         prompt_bucket: int = 64,
         steps_per_sync: int = 4,
         kv_quant: bool = False,
+        prefill_token_budget: int = 512,
+        prefix_cache: bool = False,
+        extend_chunk: int = 32,
     ):
         self.bundle_d, self.params_d = bundle_d, params_d
         self.bundle_t, self.params_t = bundle_t, params_t
@@ -325,9 +405,20 @@ class PagedEngine:
         self.scfg = SamplingConfig(temperature, top_k, top_p)
         self.prompt_bucket = prompt_bucket
         self.steps_per_sync = max(1, int(steps_per_sync))
+        # cap padded-kb x bucket per admission dispatch: the prefill's
+        # deferred all-layers k/v stack (models/llama.py paged_prefill)
+        # costs ~L*H_kv*D*4 bytes per admitted token — budget it so the
+        # one-shot pool write never rivals the pools themselves
+        self.prefill_token_budget = max(int(prefill_token_budget), 1)
         self.max_new_cap = max_new_cap
         max_pages = max_pages_per_req or num_blocks
-        self.allocator = PageAllocator(num_blocks, page, max_pages)
+        # prefix caching: refcounted pages + an LRU registry of computed
+        # prompt-prefix KV (vLLM-style automatic prefix caching) — repeat
+        # system prompts skip their prefill entirely
+        self.prefix_cache = bool(prefix_cache)
+        self.extend_chunk = int(extend_chunk)
+        alloc_cls = SharedPageAllocator if prefix_cache else PageAllocator
+        self.allocator = alloc_cls(num_blocks, page, max_pages)
         self.t_max = max_pages * page
 
         cfg_d, cfg_t = bundle_d.cfg, bundle_t.cfg
@@ -365,6 +456,31 @@ class PagedEngine:
         self.completions: dict[int, Completion] = {}
 
     # --------------------------------------------------------------- interface
+    def warmup(self, prompt_lens=(8,)) -> None:
+        """Pre-compile every steady-state program (mirror of
+        serve/scheduler.py warmup): for each prompt bucket, admission
+        waves sized to hit each power-of-two prefill batch kb, plus the
+        decode chunk. Remote compilation costs seconds per distinct
+        program — never pay that on a live request."""
+        rng = np.random.default_rng(0)
+        rids = []
+        kbs = [kb for kb in (1, 2, 4, 8) if kb <= self.batch_rows] or [1]
+        for p_len in prompt_lens:
+            for kb in kbs:
+                rids += [
+                    self.submit(rng.integers(2, 100, size=max(int(p_len), 2)), 2)
+                    for _ in range(kb)
+                ]
+                self.run_until_idle()
+            if self.prefix_cache and int(p_len) >= self.page + 2:
+                # compile the prefix-hit path too (extend chunks + finalize)
+                same = rng.integers(2, 100, size=int(p_len))
+                for _ in range(2):
+                    rids.append(self.submit(same, 2))
+                    self.run_until_idle()
+        for r in rids:
+            self.completions.pop(r, None)
+
     def submit(self, prompt_ids, max_new_tokens: int = 40) -> int:
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
         if ids.shape[0] < 2:
@@ -384,7 +500,7 @@ class PagedEngine:
     def _admit(self):
         free_rows = [i for i, r in enumerate(self._row_req) if r is None]
         while free_rows and self._pending:
-            batch = []
+            batch = []  # (row, req, padded, p_len, blocks, cached_len, hashes)
             bucket = None
             while free_rows and self._pending and len(batch) < 8:
                 nxt = self._pending[0]
@@ -393,48 +509,120 @@ class PagedEngine:
                     bucket = padded.shape[-1]
                 elif padded.shape[-1] != bucket:
                     break
+                # padded-kb x bucket stays within the prefill token budget
+                kb_next = 1 << max(len(batch), 0).bit_length() if batch else 1
+                if batch and kb_next * bucket > self.prefill_token_budget:
+                    break
                 total = p_len + nxt.max_new_tokens + self.gamma + 1
-                blocks = self.allocator.alloc(total)
-                if blocks is None:
-                    break  # pool full: keep queued (byte-accurate admission)
+                cached_len, hashes = 0, []
+                if self.prefix_cache:
+                    hashes = prompt_page_hashes(nxt.prompt, self.page)
+                    got = self.allocator.alloc_shared(total, hashes)
+                    if got is None:
+                        break  # pool full: keep queued
+                    blocks, cached_len = got
+                else:
+                    blocks = self.allocator.alloc(total)
+                    if blocks is None:
+                        break  # pool full: keep queued (byte-accurate)
                 self._pending.popleft()
                 batch.append(
-                    (free_rows.pop(0), nxt, np.asarray(padded).reshape(-1), p_len, blocks)
+                    (free_rows.pop(0), nxt, np.asarray(padded).reshape(-1),
+                     p_len, blocks, cached_len, hashes)
                 )
             if not batch:
                 break
-            k = len(batch)
-            kb = 1 << (k - 1).bit_length()
-            rows = np.full((kb,), self.batch_rows, np.int32)
-            tables = np.full(
-                (kb, self.allocator.max_pages), self.allocator.num_blocks, np.int32
-            )
-            prompts = np.zeros((kb, bucket), np.int32)
-            p_lens = np.full((kb,), 2, np.int32)
-            max_news = np.zeros((kb,), np.int32)
-            for j, (row, req, padded, p_len, blocks) in enumerate(batch):
-                rows[j] = row
-                tables[j] = self.allocator.table_row(blocks)
-                prompts[j] = padded
-                p_lens[j] = p_len
-                max_news[j] = req.max_new_tokens
-            keys = jnp.stack([
-                jax.random.fold_in(self._admit_key, batch[j][1].rid)
-                if j < k else jax.random.fold_in(self._admit_key, 2**31 - 1)
-                for j in range(kb)
-            ])
-            self.state = _paged_prefill(
-                self.params_d, self.params_t, self.state,
-                jnp.asarray(rows), jnp.asarray(tables), jnp.asarray(prompts),
-                jnp.asarray(p_lens), jnp.asarray(max_news), keys,
-                bundle_d=self.bundle_d, bundle_t=self.bundle_t,
-            )
+            misses = [e for e in batch if e[5] == 0]
+            hits = [e for e in batch if e[5] > 0]
+            if misses:
+                self._dispatch_prefill(misses, bucket)
+            if hits:
+                self._dispatch_extend(hits, bucket)
             now = time.perf_counter()
-            for row, req, _, _, blocks in batch:
+            for row, req, _, p_len, blocks, cached_len, hashes in batch:
                 req.prefill_time = now
+                req.cached_len = cached_len
                 self._row_req[row] = req
                 self._row_blocks[row] = blocks
                 self._row_gen[row] += 1
+                if self.prefix_cache and hashes:
+                    # publish the full prompt pages this request now holds
+                    # (shared ones are already registered; register is
+                    # first-writer-wins for the fresh tail)
+                    self.allocator.register(hashes, blocks[: len(hashes)])
+
+    def _admission_arrays(self, batch, bucket):
+        k = len(batch)
+        kb = 1 << (k - 1).bit_length()
+        rows = np.full((kb,), self.batch_rows, np.int32)
+        tables = np.full(
+            (kb, self.allocator.max_pages), self.allocator.num_blocks, np.int32
+        )
+        prompts = np.zeros((kb, bucket), np.int32)
+        p_lens = np.full((kb,), 2, np.int32)
+        max_news = np.zeros((kb,), np.int32)
+        cached = np.zeros((kb,), np.int32)
+        for j, (row, req, padded, p_len, blocks, cached_len, _h) in enumerate(batch):
+            rows[j] = row
+            tables[j] = self.allocator.table_row(blocks)
+            prompts[j] = padded
+            p_lens[j] = p_len
+            max_news[j] = req.max_new_tokens
+            cached[j] = cached_len
+        keys = jnp.stack([
+            jax.random.fold_in(self._admit_key, batch[j][1].rid)
+            if j < k else jax.random.fold_in(self._admit_key, 2**31 - 1)
+            for j in range(kb)
+        ])
+        return rows, tables, prompts, p_lens, max_news, cached, keys
+
+    def _dispatch_prefill(self, batch, bucket):
+        rows, tables, prompts, p_lens, max_news, _c, keys = self._admission_arrays(
+            batch, bucket
+        )
+        self.state = _paged_prefill(
+            self.params_d, self.params_t, self.state,
+            jnp.asarray(rows), jnp.asarray(tables), jnp.asarray(prompts),
+            jnp.asarray(p_lens), jnp.asarray(max_news), keys,
+            bundle_d=self.bundle_d, bundle_t=self.bundle_t,
+        )
+
+    def _dispatch_extend(self, batch, bucket):
+        """Prefix-cache-hit admission: the first ``cached_len`` positions'
+        KV already sits in shared pool pages; compute only the suffix, in
+        W-token chunks through the normal paged decode path (the flash
+        kernel's new-block ceiling is 32)."""
+        rows, tables, prompts, p_lens, max_news, cached, keys = (
+            self._admission_arrays(batch, bucket)
+        )
+        w = self.extend_chunk
+        kb = rows.shape[0]
+        sentinel = np.full_like(tables, self.allocator.num_blocks)
+        n_chunks = int(max(
+            -(-(int(p) - int(c)) // w) for p, c in zip(p_lens[: len(batch)],
+                                                       cached[: len(batch)])
+        ))
+        for j in range(n_chunks):
+            lens_now = cached + j * w
+            live = lens_now < p_lens
+            lens_d = np.where(live, lens_now, 0).astype(np.int32)
+            tab_d = np.where(live[:, None], tables, sentinel).astype(np.int32)
+            window = np.zeros((kb, w), np.int32)
+            for r in range(len(batch)):
+                if not live[r]:
+                    continue
+                s0 = int(lens_now[r])
+                take = min(w, int(p_lens[r]) - s0)
+                window[r, :take] = prompts[r, s0 : s0 + take]
+            self.state = _paged_extend_chunk(
+                self.params_d, self.params_t, self.state,
+                jnp.asarray(tab_d), jnp.asarray(lens_d), jnp.asarray(window),
+                bundle_d=self.bundle_d, bundle_t=self.bundle_t,
+            )
+        self.state = _paged_finalize(
+            self.state, jnp.asarray(rows), jnp.asarray(tables),
+            jnp.asarray(prompts), jnp.asarray(p_lens), jnp.asarray(max_news), keys,
+        )
 
     def _harvest(self, done: np.ndarray, cur_len: np.ndarray, gens: tuple):
         state = self.state
@@ -466,6 +654,7 @@ class PagedEngine:
                 "resample_count": int(res_f[row]),
                 "target_sample_count": int(bon_f[row]),
                 "tokens_generated": len(out) - p_len,
+                "prefix_cached_tokens": req.cached_len,
             }
             self.completions[req.rid] = Completion(req.rid, out, p_len, details)
             self.allocator.free(self._row_blocks[row])

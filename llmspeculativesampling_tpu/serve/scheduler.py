@@ -251,6 +251,7 @@ class Request:
     max_new_tokens: int
     submit_time: float
     prefill_time: Optional[float] = None
+    cached_len: int = 0      # prompt positions served from the prefix cache
 
 
 @dataclasses.dataclass

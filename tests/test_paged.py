@@ -239,6 +239,53 @@ def test_paged_forward_flash_matches_gather_path(monkeypatch):
     )
 
 
+@pytest.mark.parametrize("quant", [False, True])
+def test_paged_prefill_matches_incremental(quant):
+    """paged_prefill=True (block-only attention + one deferred all-layers
+    pool write, serve/paged.py admission path) == the default paged path
+    on empty rows: same logits, and the written pool produces the same
+    next decode step. Int8 pools tolerate the in-block quantization
+    round-trip the gather path applies and prefill (like the flash
+    kernel) skips."""
+    cfg, bundle, params, _, _, _ = _mk(quant=quant)
+    tol = 3e-2 if quant else 2e-4
+    from llmspeculativesampling_tpu.cache.paged import init_paged_cache, set_row_table
+
+    def fresh():
+        alloc = PageAllocator(num_blocks=8, page=16, max_pages=4)
+        pc = init_paged_cache(cfg.num_layers, 8, cfg.num_kv_heads, 16, cfg.head_dim,
+                              batch=2, max_pages=4, dtype=cfg.jnp_dtype, quant=quant)
+        pc = set_row_table(pc, 0, jnp.asarray(alloc.table_row(alloc.alloc(64))), 0)
+        pc = set_row_table(pc, 1, jnp.asarray(alloc.table_row(alloc.alloc(64))), 0)
+        return pc
+
+    rng = np.random.default_rng(3)
+    prompts = jnp.asarray(rng.integers(1, 250, size=(2, 8)).astype(np.int32))
+    step = jnp.asarray(rng.integers(1, 250, size=(2, 3)).astype(np.int32))
+
+    ref_logits, c_ref = jax.jit(
+        lambda p, t, c: bundle.forward(p, cfg, t, c)
+    )(params, prompts, fresh())
+    out_logits, c_new = jax.jit(
+        lambda p, t, c: bundle.forward(p, cfg, t, c, paged_prefill=True)
+    )(params, prompts, fresh())
+    np.testing.assert_allclose(
+        np.asarray(out_logits, np.float32), np.asarray(ref_logits, np.float32),
+        rtol=tol, atol=tol,
+    )
+    # the deferred pool write must feed the next (incremental) step identically
+    nxt_ref, _ = jax.jit(lambda p, t, c: bundle.forward(p, cfg, t, c))(
+        params, step, c_ref
+    )
+    nxt_new, _ = jax.jit(lambda p, t, c, _x: bundle.forward(p, cfg, t, c))(
+        params, step, c_new, 0
+    )
+    np.testing.assert_allclose(
+        np.asarray(nxt_new, np.float32), np.asarray(nxt_ref, np.float32),
+        rtol=tol, atol=tol,
+    )
+
+
 def test_paged_capacity_exceeds_slot_equivalent():
     """The capacity story: with the same pool bytes, paging admits
     mixed-size requests a fixed per-slot allocation cannot."""

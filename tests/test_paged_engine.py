@@ -129,3 +129,118 @@ def test_int8_paged_pool():
         c = eng.result(rid)
         assert c is not None
         assert len(c.output_ids) - c.prompt_len >= 8
+
+
+# ---------------------------------------------------------------- prefix cache
+
+def test_shared_allocator_refcount_and_eviction():
+    """SharedPageAllocator: chain lookup, refcounted sharing, LRU parking
+    on free, and eviction under allocation pressure."""
+    from llmspeculativesampling_tpu.cache.paged import (
+        SharedPageAllocator, prompt_page_hashes,
+    )
+
+    a = SharedPageAllocator(num_blocks=6, page=4, max_pages=6)
+    prompt = list(range(10, 10 + 14))  # 14 tokens, page 4 -> 3 shareable
+    hashes = prompt_page_hashes(prompt, 4)
+    assert len(hashes) == 3  # (14 - 2) // 4
+
+    got = a.alloc_shared(16, hashes)  # 4 pages
+    assert got is not None
+    blocks1, cached = got
+    assert cached == 0 and len(blocks1) == 4
+    a.register(hashes, blocks1[:3])
+
+    # identical prompt -> 3-page chain hit, 1 fresh page
+    got2 = a.alloc_shared(16, hashes)
+    blocks2, cached2 = got2
+    assert cached2 == 12 and blocks2[:3] == blocks1[:3]
+    assert a.hits == 3
+
+    # diverging prompt -> only the common prefix chain hits
+    p3 = list(prompt)
+    p3[6] = 99  # mutate page 1 -> chain breaks after page 0
+    h3 = prompt_page_hashes(p3, 4)
+    got3 = a.alloc_shared(8, h3)
+    assert got3 is not None and got3[1] == 4  # one shared page
+
+    # free the first two holders: registered pages PARK, not free
+    a.free(blocks1)
+    a.free(blocks2)
+    assert a.free_blocks < 6 and a.available_blocks > a.free_blocks
+
+    # pressure: allocating more than the free list forces LRU eviction
+    a.free(got3[0])
+    got4 = a.alloc_shared(24, [])  # 6 pages, needs evictions
+    assert got4 is not None and len(got4[0]) == 6
+    a.free(got4[0])
+
+    # evicted hashes are gone from the registry
+    assert len(a.lookup(hashes)) < 3 or a.available_blocks == 6
+
+
+def test_prefix_cache_engine_reuses_pages():
+    """Second identical-prompt request reports prefix_cached_tokens and
+    still decodes correctly; distinct prompts don't cross-hit."""
+    eng = _engine(prefix_cache=True, batch_rows=3, num_blocks=24, page=32,
+                  max_pages_per_req=8)
+    prompt = list(range(5, 5 + 70))  # 70 tokens -> 2 shareable 32-pages
+    r1 = eng.submit(prompt, max_new_tokens=8)
+    eng.run_until_idle()
+    c1 = eng.result(r1)
+    assert c1 is not None and c1.details["prefix_cached_tokens"] == 0
+
+    r2 = eng.submit(prompt, max_new_tokens=8)
+    eng.run_until_idle()
+    c2 = eng.result(r2)
+    assert c2 is not None
+    assert c2.details["prefix_cached_tokens"] == 64  # 2 pages of 32
+    assert len(c2.output_ids) - c2.prompt_len >= 8
+    np.testing.assert_array_equal(c2.output_ids[:70], prompt)
+
+    other = eng.submit(list(range(200, 200 + 70)), max_new_tokens=6)
+    eng.run_until_idle()
+    c3 = eng.result(other)
+    assert c3 is not None and c3.details["prefix_cached_tokens"] == 0
+    # every page is accounted for (free or parked in the registry)
+    assert eng.allocator.available_blocks == 24
+
+
+def test_prefix_cache_matches_uncached_output():
+    """With identical rid->key mapping, a prefix-hit decode must produce
+    the same tokens as the uncached engine (same seed, same submissions):
+    the shared pages hold bitwise-identical KV, and the suffix KV matches
+    within float tolerance, so sampled ids agree on these scales."""
+    outs = {}
+    for pc in (False, True):
+        eng = _engine(prefix_cache=pc, seed=11, batch_rows=2, num_blocks=24,
+                      page=32, max_pages_per_req=8)
+        prompt = list(range(7, 7 + 70))
+        rids = []
+        for _ in range(2):  # sequential: second run hits the cache when pc
+            rid = eng.submit(prompt, max_new_tokens=10)
+            eng.run_until_idle()
+            rids.append(rid)
+        outs[pc] = [eng.result(r).output_ids for r in rids]
+        if pc:
+            assert eng.allocator.hits > 0
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    np.testing.assert_array_equal(outs[False][1], outs[True][1])
+
+
+def test_prefix_cache_concurrent_sharing_and_recycle():
+    """Several concurrent requests share one hot prefix; pages survive
+    harvest in the registry and are reclaimed under pressure."""
+    eng = _engine(prefix_cache=True, batch_rows=4, num_blocks=12, page=32,
+                  max_pages_per_req=8)
+    sys_prompt = list(range(3, 3 + 66))  # 2 shareable pages
+    r0 = eng.submit(sys_prompt + [1, 2], max_new_tokens=4)
+    eng.run_until_idle()
+    assert eng.result(r0) is not None
+    rids = [eng.submit(sys_prompt + [50 + i, 60 + i], max_new_tokens=4)
+            for i in range(3)]
+    eng.run_until_idle()
+    for rid in rids:
+        c = eng.result(rid)
+        assert c is not None and c.details["prefix_cached_tokens"] == 64
+    assert eng.allocator.available_blocks == 12
