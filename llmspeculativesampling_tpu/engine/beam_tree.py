@@ -581,7 +581,14 @@ def beam_speculative_generate(
     top_p: float = 0.0, key=None, details: bool = False,
 ):
     """beam_speculative_sampling equivalent (flattened-verification beam
-    spec decode; verification computed via tree attention)."""
+    spec decode; verification computed via tree attention).
+
+    ``width`` is accepted for reference-signature parity
+    (speculative_sampling.py:587): there it only sets the draft's
+    ``num_return_sequences`` while the verify walk iterates ``num_beams``
+    (:756), and every reachable config sets ``num_beams = width``
+    (evaluation.py:871). The tree branch factor here is ``num_beams``;
+    pass ``num_beams=width`` to match the reference sweep."""
     return _run_tree(
         "v1", bundle_d, params_d, bundle_t, params_t, prompt, max_new_tokens,
         gamma=gamma, width=width, num_beams=num_beams, min_num_beams=min_num_beams,
@@ -598,7 +605,13 @@ def beam_speculative_v2_generate(
     top_p: float = 0.0, key=None, details: bool = False,
 ):
     """beam_speculative_sampling_v2 equivalent (dynamic-width tree-attention
-    speculative beam decoding — the reference flagship)."""
+    speculative beam decoding — the reference flagship).
+
+    ``width`` semantics match the reference (speculative_sampling.py:20):
+    it only sets the draft's ``num_return_sequences`` (:94) while the
+    accept walk iterates ``num_beams`` (:277); the headline sweep always
+    runs ``num_beams = width`` (evaluation.py:871), which is how the
+    harness threads it."""
     if extra_sample_cnt == -1:
         extra_sample_cnt = num_beams
     return _run_tree(

@@ -179,47 +179,63 @@ def _method_fn(name: str, models, args, eos: int):
     ds_p = DATASET_PARAMS.get(args.dataset, {})
 
     def run(prompt_ids, key, **over):
-        kw = dict(common, key=key, **over)
+        # `over` carries sweep overrides; each branch pops what it consumes
+        # and anything left merges into kw exactly once (never duplicated).
+        over = dict(over)
+        kw = dict(common, key=key)
         if name == "autoregressive":
+            kw.update(over)
             return autoregressive_generate(bt, pt, prompt_ids, args.max_tokens, **kw)
         if name == "speculative":
+            kw.update(over)
             return speculative_generate(bd, pd, bt, pt, prompt_ids, args.max_tokens,
                                         gamma=args.gamma,
                                         random_seed=args.random_seed, **kw)
         if name == "speculative_v2":
+            kw.update(over)
             return speculative_generate_v2(bd, pd, bt, pt, prompt_ids,
                                            args.max_tokens, gamma=args.gamma, **kw)
         if name == "bild":
             bp = ds_p.get("bild", {})
-            fb = kw.pop("fallback_thres", bp.get("fallback_thres", args.fallback_thres))
-            rb = kw.pop("rollback_thres", bp.get("rollback_thres", args.rollback_thres))
+            fb = over.pop("fallback_thres", bp.get("fallback_thres", args.fallback_thres))
+            rb = over.pop("rollback_thres", bp.get("rollback_thres", args.rollback_thres))
+            kw.update(over)
             return bild_generate(
                 bd, pd, bt, pt, prompt_ids, args.max_tokens, gamma=max(args.gamma, 10),
                 fallback_thres=fb, rollback_thres=rb, **kw)
         if name == "mjsd":
+            kw.update(over)
             return mjsd_generate(bd, pd, bt, pt, prompt_ids, args.max_tokens,
                                  gamma=args.gamma, width=args.width,
                                  num_beams=args.num_beams,
                                  accept_thres=args.accept_thres, **kw)
         if name == "multi":
             mp = ds_p.get("multi", {})
+            kw.update(over)
             return multi_speculative_generate(
                 bd, pd, bt, pt, prompt_ids, args.max_tokens, gamma=args.gamma,
                 width=mp.get("width", args.width), strategy=args.strategy,
                 num_beams=mp.get("num_beams", args.num_beams), **kw)
         if name == "beam":
+            width = over.pop("width", args.width)
+            num_beams = over.pop("num_beams", args.num_beams)
+            kw.update(over)
             return beam_speculative_generate(bd, pd, bt, pt, prompt_ids,
                                              args.max_tokens, gamma=args.gamma,
-                                             width=args.width,
-                                             num_beams=args.num_beams, **kw)
+                                             width=width, num_beams=num_beams, **kw)
         if name == "beam_v2":
+            width = over.pop("width", args.width)
+            # reference sweep semantics: num_beams = width (evaluation.py:871)
+            num_beams = over.pop("num_beams", args.num_beams)
+            extra = over.pop("extra_sample_cnt", args.extra_sample_cnt)
+            thres = over.pop("expect_thres", args.expect_thres)
+            kw.update(over)
             return beam_speculative_v2_generate(
                 bd, pd, bt, pt, prompt_ids, args.max_tokens, gamma=args.gamma,
-                width=over.pop("width", args.width),
-                num_beams=args.num_beams,
-                extra_sample_cnt=over.pop("extra_sample_cnt", args.extra_sample_cnt),
-                expect_thres=over.pop("expect_thres", args.expect_thres), **kw)
+                width=width, num_beams=num_beams,
+                extra_sample_cnt=extra, expect_thres=thres, **kw)
         if name == "random_beam":
+            kw.update(over)
             return random_width_beam_generate(bt, pt, prompt_ids, args.max_tokens,
                                               max_num_beams=args.num_beams,
                                               min_num_beams=1, **kw)
@@ -352,12 +368,12 @@ def evaluate(args) -> List[Dict]:
                     log(json.dumps(r))
             continue
         if m == "beam_v2" and args.sweep:
-            # reference sweep grid (evaluation.py:861-908)
+            # reference sweep grid (evaluation.py:861-908); num_beams = width (:871)
             for width in (2, 3, 4, 5):
                 for extra in (1, 2):
                     for thres in (0.5, 0.7, 0.9):
                         r = run_block(m, models, prompts_ids, prompt_texts, args,
-                                      eos, log, width=width,
+                                      eos, log, width=width, num_beams=width,
                                       extra_sample_cnt=extra, expect_thres=thres)
                         add_quality(r, ds, tokenizer, models, args, log)
                         results.append(r)

@@ -99,6 +99,62 @@ def test_spider_schema_prompt(tmp_path):
     assert "Foreign_keys = [dept.dept_ID = head.head_ID]" in s
 
 
+def _tiny_pair(fam, dtype):
+    from llmspeculativesampling_tpu.core.synthetic import synthetic_pair
+
+    return synthetic_pair(
+        fam, hidden_size=64, num_layers=4, draft_layers=2, num_heads=4,
+        vocab_size=256, max_position=512, dtype="float32")
+
+
+def test_harness_beam_v2_sweep(tmp_path):
+    """The reference's headline experiment grid (evaluation.py:861-993):
+    24 blocks of beam_v2 at width x extra_sample_cnt x expect_thres, with
+    num_beams = width (:871) actually threaded to the engine."""
+    import llmspeculativesampling_tpu.evalx.harness as H
+
+    args = H.build_parser().parse_args([
+        "--dataset", "synthetic", "--methods", "beam_v2", "--sweep",
+        "--num_prompts", "1", "--max_tokens", "4", "--gamma", "2",
+    ])
+    orig = H.synthetic_pair
+    H.synthetic_pair = _tiny_pair
+    try:
+        results = H.evaluate(args)
+    finally:
+        H.synthetic_pair = orig
+    assert len(results) == 24
+    assert sorted({r["num_beams"] for r in results}) == [2, 3, 4, 5]
+    assert sorted({r["width"] for r in results}) == [2, 3, 4, 5]
+    assert sorted({r["extra_sample_cnt"] for r in results}) == [1, 2]
+    assert sorted({r["expect_thres"] for r in results}) == [0.5, 0.7, 0.9]
+    for r in results:
+        assert r["num_beams"] == r["width"]  # evaluation.py:871
+        assert r["total_tokens"] >= 4
+        assert r["tokens_per_s"] > 0
+
+
+def test_harness_bild_sweep(tmp_path):
+    """BiLD fallback/rollback threshold grid (experiment_multi.py:427-474)."""
+    import llmspeculativesampling_tpu.evalx.harness as H
+
+    args = H.build_parser().parse_args([
+        "--dataset", "synthetic", "--methods", "bild", "--sweep_bild",
+        "--num_prompts", "1", "--max_tokens", "4", "--gamma", "2",
+    ])
+    orig = H.synthetic_pair
+    H.synthetic_pair = _tiny_pair
+    try:
+        results = H.evaluate(args)
+    finally:
+        H.synthetic_pair = orig
+    assert len(results) == 12
+    assert sorted({r["fallback_thres"] for r in results}) == [0.4, 0.6, 0.8, 0.9]
+    assert sorted({r["rollback_thres"] for r in results}) == [1.0, 2.0, 5.0]
+    for r in results:
+        assert r["total_tokens"] >= 4
+
+
 def test_harness_end_to_end(tmp_path):
     """Full harness block run on tiny synthetic models (CPU)."""
     from llmspeculativesampling_tpu.evalx.harness import build_parser, evaluate
