@@ -38,11 +38,11 @@ from .beam_draft import beam_draft, top_width
 from .types import aligned_total, ModelBundle, first_eos_truncate, pad_prompt
 
 
-def _leading_accept(key, p_sel, q_sel):
+def _leading_accept(key, p_sel, q_sel, fixed_r=None):
     """multi-beam rule (:1612-1640): leading run of r < min(1, p/q)."""
     w, gamma = p_sel.shape
     ratio = jnp.minimum(p_sel / (q_sel + 1e-20), 1.0)
-    r = jax.random.uniform(key, (w, gamma))
+    r = fixed_r if fixed_r is not None else jax.random.uniform(key, (w, gamma))
     lead = jnp.cumprod((r < ratio).astype(jnp.int32), axis=1)
     return jnp.sum(lead, axis=1)  # [w]
 
@@ -71,6 +71,7 @@ def _beam_spec_device(
     prompt_padded,
     prompt_len,
     key,
+    fixed_r,
     *,
     bundle_d: ModelBundle,
     bundle_t: ModelBundle,
@@ -129,7 +130,7 @@ def _beam_spec_device(
         key, kacc, kt = jax.random.split(key, 3)
         if mode == "beam":
             q_sel = perbeam_q[widx, gidx, cand]
-            lens = _leading_accept(kacc, p_sel, q_sel)
+            lens = _leading_accept(kacc, p_sel, q_sel, fixed_r)
             rate = jnp.minimum(p_sel / (q_sel + 1e-20), 1.0)
         else:
             lens = _mjsd_accept(accept_thres, p_sel, seq_q)
@@ -183,7 +184,7 @@ def _beam_spec_device(
 def _run(
     mode, bundle_d, params_d, bundle_t, params_t, prompt, max_new_tokens, *,
     gamma, width, num_beams, accept_thres, eos_token_id,
-    temperature, top_k, top_p, key, details,
+    temperature, top_k, top_p, key, details, random_seed=None,
 ):
     scfg = SamplingConfig(temperature, top_k, top_p)
     key = key if key is not None else jax.random.key(0)
@@ -192,9 +193,18 @@ def _run(
         raise ValueError("prompt must have at least 2 tokens")
     max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + gamma + 1)
 
+    fixed_r = None
+    if random_seed is not None and mode == "beam":
+        # reference reseeds before every accept draw (:1619-1621) => all r
+        # equal one fixed uniform. mjsd's active path uses r = accept_thres
+        # (:1288) so random_seed has no effect there, like the reference.
+        fixed_r = jnp.broadcast_to(
+            jax.random.uniform(jax.random.key(random_seed), ()), (width, gamma))
+
     t0 = time.perf_counter()
     tokens, cur_len, accepted, steps, rate_sum, rate_cnt = _beam_spec_device(
         params_d, params_t, jnp.asarray(prompt_padded), jnp.asarray(p_len, jnp.int32), key,
+        fixed_r,
         bundle_d=bundle_d, bundle_t=bundle_t, gamma=gamma, width=width,
         num_beams=num_beams, max_new_tokens=max_new_tokens, scfg=scfg,
         eos_token_id=eos_token_id, max_total_len=max_total, mode=mode,
@@ -221,14 +231,15 @@ def multi_beam_generate(
     bundle_d, params_d, bundle_t, params_t, prompt, max_new_tokens, *,
     gamma: int = 4, width: int = 4, num_beams: Optional[int] = None,
     eos_token_id: int, temperature: float = 1.0, top_k: int = 0,
-    top_p: float = 0.0, key=None, details: bool = False,
+    top_p: float = 0.0, key=None, random_seed=None, details: bool = False,
 ):
     """multi_speculative_sampling(strategy='beam') equivalent."""
     return _run(
         "beam", bundle_d, params_d, bundle_t, params_t, prompt, max_new_tokens,
         gamma=gamma, width=width, num_beams=num_beams or max(4, width),
         accept_thres=0.0, eos_token_id=eos_token_id, temperature=temperature,
-        top_k=top_k, top_p=top_p, key=key, details=details,
+        top_k=top_k, top_p=top_p, key=key, random_seed=random_seed,
+        details=details,
     )
 
 
@@ -236,12 +247,18 @@ def mjsd_generate(
     bundle_d, params_d, bundle_t, params_t, prompt, max_new_tokens, *,
     gamma: int = 4, width: int = 8, num_beams: int = 8, accept_thres: float = 0.1,
     eos_token_id: int, temperature: float = 1.0, top_k: int = 0,
-    top_p: float = 0.0, key=None, details: bool = False,
+    top_p: float = 0.0, key=None, random_seed=None, details: bool = False,
 ):
-    """mjsd_speculative_sampling equivalent (multi-token joint accept)."""
+    """mjsd_speculative_sampling equivalent (multi-token joint accept).
+
+    ``random_seed`` is accepted for signature parity; the reference's
+    active accept path uses the deterministic ``r = accept_thres``
+    (:1288) — its reseed sits before a commented-out draw (:1286-1288) —
+    so the seed has no observable effect, here or there."""
     return _run(
         "mjsd", bundle_d, params_d, bundle_t, params_t, prompt, max_new_tokens,
         gamma=gamma, width=width, num_beams=num_beams, accept_thres=accept_thres,
         eos_token_id=eos_token_id, temperature=temperature,
-        top_k=top_k, top_p=top_p, key=key, details=details,
+        top_k=top_k, top_p=top_p, key=key, random_seed=random_seed,
+        details=details,
     )

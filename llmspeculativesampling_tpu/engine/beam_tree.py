@@ -578,7 +578,7 @@ def beam_speculative_generate(
     bundle_d, params_d, bundle_t, params_t, prompt, max_new_tokens, *,
     gamma: int = 4, width: int = 8, num_beams: int = 8, min_num_beams: int = 1,
     eos_token_id: int, temperature: float = 1.0, top_k: int = 0,
-    top_p: float = 0.0, key=None, details: bool = False,
+    top_p: float = 0.0, key=None, random_seed=None, details: bool = False,
 ):
     """beam_speculative_sampling equivalent (flattened-verification beam
     spec decode; verification computed via tree attention).
@@ -602,7 +602,7 @@ def beam_speculative_v2_generate(
     gamma: int = 4, width: int = 8, num_beams: int = 8, min_num_beams: int = 1,
     extra_sample_cnt: int = -1, expect_thres: float = 0.7,
     eos_token_id: int, temperature: float = 1.0, top_k: int = 0,
-    top_p: float = 0.0, key=None, details: bool = False,
+    top_p: float = 0.0, key=None, random_seed=None, details: bool = False,
 ):
     """beam_speculative_sampling_v2 equivalent (dynamic-width tree-attention
     speculative beam decoding — the reference flagship).

@@ -162,9 +162,15 @@ def bild_generate(
     top_k: int = 0,
     top_p: float = 0.0,
     key: Optional[jax.Array] = None,
+    random_seed: Optional[int] = None,
     details: bool = False,
 ):
-    """BiLD policy decode — reference ``BiLD_sampling`` equivalent."""
+    """BiLD policy decode — reference ``BiLD_sampling`` equivalent.
+
+    ``random_seed`` is accepted for signature parity
+    (speculative_sampling.py:1723); the reference never consumes it in
+    BiLD (no reseed inside :1718-1872) — the policy is threshold-driven."""
+    del random_seed
     scfg = SamplingConfig(temperature, top_k, top_p)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)

@@ -47,6 +47,7 @@ def _multi_device(
     prompt_padded,
     prompt_len,
     key,
+    fixed_r,
     *,
     bundle_d: ModelBundle,
     bundle_t: ModelBundle,
@@ -120,7 +121,7 @@ def _multi_device(
         p_sel = p_stack[:, :gamma][widx, gidx, cand]
         ratio = jnp.minimum(p_sel / q_sel, 1.0)
         key, kr, kt = jax.random.split(key, 3)
-        r = jax.random.uniform(kr, (w, gamma))
+        r = fixed_r if fixed_r is not None else jax.random.uniform(kr, (w, gamma))
         accept = r < ratio  # reference uses strict '<' here (:1625)
         lead = jnp.cumprod(accept.astype(jnp.int32), axis=1)
         cur_l = jnp.sum(lead, axis=1)  # [w]
@@ -189,11 +190,14 @@ def multi_speculative_generate(
     top_k: int = 0,
     top_p: float = 0.0,
     key: Optional[jax.Array] = None,
+    random_seed: Optional[int] = None,
     details: bool = False,
 ):
     """Multi-candidate speculative sampling. ``strategy='iid'`` here;
     'beam' delegates to the beam-draft engine; 'diverse' raises like the
-    reference (:1510-1511)."""
+    reference (:1510-1511). ``random_seed`` reproduces the reference's
+    reseed-before-every-accept-draw quirk (:1619-1621): all r draws in a
+    run equal one fixed uniform."""
     if strategy == "diverse":
         raise NotImplementedError("diverse strategy (reference :1510)")
     if strategy in ("beam", "acc_beam"):
@@ -203,7 +207,8 @@ def multi_speculative_generate(
             bundle_d, params_d, bundle_t, params_t, prompt, max_new_tokens,
             gamma=gamma, width=width, num_beams=num_beams or max(4, width),
             eos_token_id=eos_token_id, temperature=temperature,
-            top_k=top_k, top_p=top_p, key=key, details=details,
+            top_k=top_k, top_p=top_p, key=key, random_seed=random_seed,
+            details=details,
         )
     if strategy != "iid":
         raise RuntimeError("Strategy not implemented " + strategy)
@@ -215,9 +220,15 @@ def multi_speculative_generate(
         raise ValueError("prompt must have at least 2 tokens")
     max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + gamma + 1)
 
+    fixed_r = None
+    if random_seed is not None:
+        fixed_r = jnp.broadcast_to(
+            jax.random.uniform(jax.random.key(random_seed), ()), (width, gamma))
+
     t0 = time.perf_counter()
     tokens, cur_len, accepted, steps, rate_sum, rate_cnt = _multi_device(
         params_d, params_t, jnp.asarray(prompt_padded), jnp.asarray(p_len, jnp.int32), key,
+        fixed_r,
         bundle_d=bundle_d, bundle_t=bundle_t, gamma=gamma, width=width,
         max_new_tokens=max_new_tokens, scfg=scfg, eos_token_id=eos_token_id,
         max_total_len=max_total,

@@ -253,10 +253,21 @@ def _accept_jit(tokens, cur_len, q_stack, drafts, p_stack, key, fixed_r, *,
     )
 
 
+def _decode_one(tok: int) -> str:
+    """Best-effort token text via the Decoder singleton (globals.py:11-22);
+    falls back to the raw id when no tokenizer is attached."""
+    from ..utils.decoder import Decoder
+
+    d = Decoder()
+    if d.tokenizer is None:
+        return str(tok)
+    return d.decode([int(tok)])
+
+
 def _spec_generate_stepwise(
     bundle_d, params_d, bundle_t, params_t, prompt_padded, p_len,
     max_new_tokens, gamma, scfg, eos_token_id, max_total, key,
-    random_seed, details,
+    random_seed, details, verbose=False,
 ):
     """Host-stepped diagnostic variant with the reference's phase timers."""
     fixed_r = None
@@ -302,9 +313,33 @@ def _spec_generate_stepwise(
         # host EOS check over the committed window (diagnostic mode syncs anyway)
         window = np.asarray(jax.lax.dynamic_slice(
             tokens, (0, cur_len - (int(n) + 1)), (1, gamma + 1)))[0]
+        if verbose:
+            # reference per-token streaming (speculative_sampling.py:1986-2021):
+            # accepted guesses red, reject-resample blue, bonus sample magenta.
+            ni = int(n)
+            for j in window[:ni]:
+                print(f"approx guess accepted {int(j)}: "
+                      f"\033[31m{_decode_one(j)}\033[0m")
+            t_tok = int(window[ni])
+            pos = int(cur_len) - 1
+            if ni == gamma:
+                print(f"target samples {pos}: \033[35m{_decode_one(t_tok)}\033[0m")
+            else:
+                print(f"target resamples at position {pos}: "
+                      f"\033[34m{_decode_one(t_tok)}\033[0m")
         if eos_token_id in window[: int(n) + 1]:
             break
     wall = time.perf_counter() - t0
+    if verbose:
+        # end-of-run summary (speculative_sampling.py:2053-2060)
+        print(f"generated tokens numbers {int(cur_len) - p_len}, "
+              f"accepted_count {sum(acc_len)}")
+        print(f"Acc rate: {acc_rate_sum / max(steps * gamma, 1)}")
+        print("approx model time", approx_t)
+        print("target model time", target_t)
+        print("other time", wall - approx_t - target_t)
+        print("acc len", float(np.mean(acc_len)) if acc_len else 0.0,
+              len(acc_len), acc_len)
 
     out = first_eos_truncate(np.asarray(tokens), p_len, int(cur_len), eos_token_id)
     if not details:
@@ -343,6 +378,7 @@ def speculative_generate(
     random_seed: Optional[int] = None,
     details: bool = False,
     stepwise: bool = False,
+    verbose: bool = False,
     tp_mesh=None,
 ):
     """Speculative sampling with KV rollback — reference
@@ -368,11 +404,13 @@ def speculative_generate(
     if p_len < 2:
         raise ValueError("prompt must have at least 2 tokens")
     max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + gamma + 1)
-    if stepwise:
+    if stepwise or verbose:
+        # verbose token streaming (reference speculative_sampling.py:1986-2021)
+        # requires per-step host sync, so it rides the stepwise path.
         return _spec_generate_stepwise(
             bundle_d, params_d, bundle_t, params_t, prompt_padded, p_len,
             max_new_tokens, gamma, scfg, eos_token_id, max_total, key,
-            random_seed, details,
+            random_seed, details, verbose=verbose,
         )
 
     fixed_r = None

@@ -36,6 +36,7 @@ def _spec_v2_device(
     prompt_padded,
     prompt_len,
     key,
+    fixed_r,
     *,
     bundle_d: ModelBundle,
     bundle_t: ModelBundle,
@@ -86,7 +87,8 @@ def _spec_v2_device(
         p_stack = norm_logits(window, scfg)
 
         tokens, new_len, _, n, _, _, key = accept_phase(
-            scfg, gamma, eos_token_id, tokens, cur_len, q_stack, drafts, p_stack, key
+            scfg, gamma, eos_token_id, tokens, cur_len, q_stack, drafts, p_stack,
+            key, fixed_r
         )
         pos = jnp.arange(tokens.shape[1])
         new_mask = (pos >= cur_len) & (pos < new_len)
@@ -118,15 +120,22 @@ def speculative_generate_v2(
     random_seed: Optional[int] = None,
     details: bool = False,
 ):
-    del random_seed
     scfg = SamplingConfig(temperature, top_k, top_p)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)
     max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + gamma + 1)
 
+    fixed_r = None
+    if random_seed is not None:
+        # reference reseeds before every accept draw (:2150-2151) => all r
+        # draws equal one fixed uniform; reproduce with a fixed vector.
+        fixed_r = jnp.broadcast_to(
+            jax.random.uniform(jax.random.key(random_seed), ()), (gamma,))
+
     t0 = time.perf_counter()
     tokens, cur_len, accepted, steps = _spec_v2_device(
         params_d, params_t, jnp.asarray(prompt_padded), jnp.asarray(p_len, jnp.int32), key,
+        fixed_r,
         bundle_d=bundle_d, bundle_t=bundle_t, gamma=gamma,
         max_new_tokens=max_new_tokens, scfg=scfg,
         eos_token_id=eos_token_id, max_total_len=max_total,
