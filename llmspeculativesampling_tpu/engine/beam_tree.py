@@ -50,6 +50,7 @@ from ..cache.kvcache import KVCache, compact_tree_paths, rollback, select_rows
 from ..ops.dp import acceptance_alphas, get_expect_cnt_by_thres, num_accept_distribution
 from ..ops.sampling import SamplingConfig, max_fn, norm_logits, sample, sample_k
 from .beam_draft import beam_draft
+from .phases import fill_phase_split
 from .types import aligned_total, ModelBundle, pad_prompt
 
 _NEG = -1e30
@@ -150,6 +151,8 @@ class TreeState(NamedTuple):
     best_len: jax.Array
     best_score: jax.Array
     alive: jax.Array        # [R] row not yet EOS-finished this run
+    acc_len_hist: jax.Array  # [max_steps] accepted levels per step (:1991 analogue)
+    expect_hist: jax.Array   # [max_steps, gamma] v2 per-level expect_cnt (-1 inactive)
 
 
 def _slot_pattern(b, r):
@@ -287,6 +290,7 @@ def _v2_walk(
     f_accept = jnp.zeros((b,), bool)
     f_acc_cnt = jnp.zeros((), jnp.int32)
     rate_sum = jnp.zeros((), jnp.float32)
+    expect_levels = []  # per-level expect_cnt while active, -1 after fail
 
     last_p_next = jnp.zeros((b * vocab,), jnp.float32)
 
@@ -314,6 +318,7 @@ def _v2_walk(
         else:
             expect_cnt = get_expect_cnt_by_thres(p_width, expect_thres)
         expect_cnt = jnp.maximum(expect_cnt, min_num_beams)
+        expect_levels.append(jnp.where(active, expect_cnt, -1))
 
         # sequential accept over beams with residual updates (:277-303)
         def bstep(carry, j):
@@ -371,7 +376,7 @@ def _v2_walk(
     t = jnp.where(all_acc, t_all, t_partial)
     score_src = jnp.where(all_acc, p_final, f_p_next)
     new_scores = jnp.log(score_src[t] + 1e-30)[:r_slots]
-    return t, max_l, all_acc, new_scores, rate_sum, key
+    return t, max_l, all_acc, new_scores, rate_sum, key, jnp.stack(expect_levels)
 
 
 def _v1_walk(scfg, gamma, num_beams, vocab, min_num_beams, res, p_root, p_nodes, state, r_slots, key):
@@ -470,6 +475,8 @@ def _beam_tree_device(
         best_len=jnp.zeros((), jnp.int32),
         best_score=jnp.asarray(_NEG, jnp.float32),
         alive=jnp.ones((r_slots,), bool),
+        acc_len_hist=jnp.zeros((max_new_tokens,), jnp.int32),
+        expect_hist=jnp.full((max_new_tokens, gamma), -1, jnp.int32),
     )
 
     def cond(s: TreeState):
@@ -496,7 +503,7 @@ def _beam_tree_device(
         s = s._replace(target_cache=target_cache)
 
         if mode == "v2":
-            t, max_l, all_acc, new_scores, rate_sum, key = _v2_walk(
+            t, max_l, all_acc, new_scores, rate_sum, key, expect_levels = _v2_walk(
                 scfg, gamma, b, vocab, expect_thres, min_num_beams,
                 res, p_root, p_nodes, r_slots, key,
             )
@@ -505,6 +512,7 @@ def _beam_tree_device(
                 scfg, gamma, b, vocab, min_num_beams, res, p_root, p_nodes,
                 s, r_slots, key,
             )
+            expect_levels = jnp.full((gamma,), -1, jnp.int32)
 
         full_scores = jnp.zeros((b,), jnp.float32).at[:r_slots].set(new_scores)
         s, _ = _commit(
@@ -517,6 +525,11 @@ def _beam_tree_device(
             steps=s.steps + 1,
             rate_sum=s.rate_sum + rate_sum,
             rate_cnt=s.rate_cnt + gamma,
+            acc_len_hist=jax.lax.dynamic_update_slice(
+                s.acc_len_hist, max_l[None], (s.steps,)),
+            expect_hist=jax.lax.dynamic_update_slice(
+                s.expect_hist, expect_levels[None].astype(jnp.int32),
+                (s.steps, jnp.zeros((), jnp.int32))),
         )
         s = _eos_bookkeeping(s, eos_token_id, prompt_len, r_slots)
         return s
@@ -532,7 +545,9 @@ def _beam_tree_device(
     improved = norm[fb] > state.best_score
     best_tokens = jnp.where(improved, state.row_tokens[fb], state.best_tokens)
     best_len = jnp.where(improved, state.cur_len, state.best_len)
-    return best_tokens, best_len, state.accepted, state.steps, state.rate_sum, state.rate_cnt
+    return (best_tokens, best_len, state.accepted, state.steps,
+            state.rate_sum, state.rate_cnt, state.acc_len_hist,
+            state.expect_hist)
 
 
 def _run_tree(
@@ -550,7 +565,8 @@ def _run_tree(
     r_slots = num_beams if mode == "v1" else max(extra_sample_cnt, 1)
 
     t0 = time.perf_counter()
-    tokens, out_len, accepted, steps, rate_sum, rate_cnt = _beam_tree_device(
+    (tokens, out_len, accepted, steps, rate_sum, rate_cnt,
+     acc_len_hist, expect_hist) = _beam_tree_device(
         params_d, params_t, jnp.asarray(prompt_padded), jnp.asarray(p_len, jnp.int32), key,
         bundle_d=bundle_d, bundle_t=bundle_t, gamma=gamma, num_beams=num_beams,
         r_slots=r_slots, max_new_tokens=max_new_tokens, scfg=scfg,
@@ -561,16 +577,26 @@ def _run_tree(
     out = jax.device_get(tokens)[: int(out_len)]
     if not details:
         return out
+    steps_i = int(steps)
+    # flattened per-level expect counts in step order, active levels only
+    # (reference expect_cnt_list, evaluation.py:889 / speculative_sampling.py:270)
+    eh = jax.device_get(expect_hist)[:steps_i].reshape(-1)
     d = {
         "total_time": wall,
         "accepted_count": int(accepted),
         "acc_rate": float(rate_sum) / max(int(rate_cnt), 1),
-        "target_call_times": int(steps),
-        "approx_call_times": int(steps),
-        "acc_len": None,
+        "target_call_times": steps_i,
+        "approx_call_times": steps_i,
+        "acc_len": jax.device_get(acc_len_hist)[:steps_i].tolist(),
+        "expect_cnt_list": eh[eh >= 0].tolist() if mode == "v2" else [],
         "tokens_generated": max(len(out) - p_len, 0),
         "tokens_per_s": max(len(out) - p_len, 0) / wall if wall > 0 else float("nan"),
     }
+    fill_phase_split(
+        d, wall, steps_i, bundle_d, params_d, bundle_t, params_t,
+        draft_rows=num_beams, verify_rows=r_slots, gamma=gamma,
+        verify_tokens=gamma * num_beams + 1, max_total=max_total,
+    )
     return out, d
 
 

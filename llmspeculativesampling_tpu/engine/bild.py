@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..cache.kvcache import rollback
 from ..ops.sampling import SamplingConfig, norm_logits, sample
+from .phases import calibrate_phase_times
 from .types import aligned_total, ModelBundle, first_eos_truncate, pad_prompt
 
 
@@ -71,7 +72,7 @@ def _bild_device(
 
     def body(s):
         (tokens, cur_len, draft_cache, target_cache, key, done,
-         last_check, acc_sum, check_cnt, small_cnt) = s
+         last_check, acc_sum, check_cnt, small_cnt, hist) = s
 
         # --- small model decodes one token (1778-1784) ---
         draft_cache = rollback(draft_cache, cur_len - 1)
@@ -131,19 +132,24 @@ def _bild_device(
         new_mask = (pos >= cur_len) & (pos < out_len)
         done = jnp.any(new_mask & (tokens[0] == eos_token_id))
 
+        hist = jnp.where(
+            need_check,
+            jax.lax.dynamic_update_slice(hist, l[None], (check_cnt,)),
+            hist,
+        )
         return (
             tokens, out_len, draft_cache, target_cache, key, done,
             last_check, acc_sum + l, check_cnt + jnp.where(need_check, 1, 0),
-            small_cnt + 1,
+            small_cnt + 1, hist,
         )
 
     state = (
         tokens, prompt_len, draft_cache, target_cache, key, jnp.asarray(False),
         prompt_len - 1, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32), jnp.zeros((max_new_tokens + 1,), jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, state)
-    return out[0], out[1], out[7], out[8], out[9]
+    return out[0], out[1], out[7], out[8], out[9], out[10]
 
 
 def bild_generate(
@@ -177,7 +183,8 @@ def bild_generate(
     max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + 2)
 
     t0 = time.perf_counter()
-    tokens, cur_len, acc_sum, check_cnt, small_cnt = _bild_device(
+    (tokens, cur_len, acc_sum, check_cnt, small_cnt,
+     acc_len_hist) = _bild_device(
         params_d, params_t, jnp.asarray(prompt_padded), jnp.asarray(p_len, jnp.int32), key,
         bundle_d=bundle_d, bundle_t=bundle_t, gamma=gamma,
         max_new_tokens=max_new_tokens, scfg=scfg, eos_token_id=eos_token_id,
@@ -189,13 +196,30 @@ def bild_generate(
     out = first_eos_truncate(tokens, p_len, int(cur_len), eos_token_id)
     if not details:
         return out
+    checks = int(check_cnt)
     d = {
         "total_time": wall,
-        "acc_len": None,
+        "acc_len": jax.device_get(acc_len_hist)[:checks].tolist(),
         "accepted_count": int(acc_sum),
-        "target_call_times": int(check_cnt),
+        "target_call_times": checks,
         "approx_call_times": int(small_cnt),
         "tokens_generated": len(out) - p_len,
         "tokens_per_s": (len(out) - p_len) / wall if wall > 0 else float("nan"),
     }
+    # approx phase = small_cnt single-token forwards; target phase =
+    # check_cnt (gamma+1)-token window forwards
+    t_draft, t_verify = calibrate_phase_times(
+        bundle_d, params_d, bundle_t, params_t,
+        draft_rows=1, verify_rows=1, gamma=1, verify_tokens=gamma + 1,
+        max_total=max_total,
+    )
+    approx = int(small_cnt) * t_draft
+    target = checks * t_verify
+    if approx + target > wall > 0:
+        scale = wall / (approx + target)
+        approx, target = approx * scale, target * scale
+    d.update(approx_time=approx, target_time=target,
+             other_time=max(wall - approx - target, 0.0),
+             target_model_time=target, target_pre_cache_time=0.0,
+             target_post_prob_time=0.0, phase_split_method="calibrated")
     return out, d

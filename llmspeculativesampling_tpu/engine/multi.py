@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..cache.kvcache import rollback, select_rows
 from ..ops.sampling import SamplingConfig, max_fn, norm_logits, sample
+from .phases import fill_phase_split
 from .types import aligned_total, ModelBundle, first_eos_truncate, pad_prompt
 
 
@@ -77,7 +78,7 @@ def _multi_device(
 
     def body(s):
         (tokens, cur_len, draft_cache, target_cache, key, done,
-         accepted, steps, acc_rate_sum, acc_rate_cnt) = s
+         accepted, steps, acc_rate_sum, acc_rate_cnt, hist) = s
 
         # --- draft: width iid candidates, gamma tokens each ---
         draft_cache = rollback(draft_cache, cur_len - 2)
@@ -158,19 +159,21 @@ def _multi_device(
 
         # acc_rate over all width*gamma drafted tokens, q==0 counts as 0 (:1593-1602)
         rate = jnp.where(q_sel > 0, ratio, 0.0)
+        hist = jax.lax.dynamic_update_slice(hist, max_l[None], (steps,))
         return (
             tokens, new_len, draft_cache, target_cache, key, done,
             accepted + max_l, steps + 1,
-            acc_rate_sum + jnp.sum(rate), acc_rate_cnt + w * gamma,
+            acc_rate_sum + jnp.sum(rate), acc_rate_cnt + w * gamma, hist,
         )
 
     state = (
         tokens, prompt_len, draft_cache, target_cache, key, jnp.asarray(False),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
+        jnp.zeros((max_new_tokens,), jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, state)
-    return out[0], out[1], out[6], out[7], out[8], out[9]
+    return out[0], out[1], out[6], out[7], out[8], out[9], out[10]
 
 
 def multi_speculative_generate(
@@ -226,7 +229,8 @@ def multi_speculative_generate(
             jax.random.uniform(jax.random.key(random_seed), ()), (width, gamma))
 
     t0 = time.perf_counter()
-    tokens, cur_len, accepted, steps, rate_sum, rate_cnt = _multi_device(
+    (tokens, cur_len, accepted, steps, rate_sum, rate_cnt,
+     acc_len_hist) = _multi_device(
         params_d, params_t, jnp.asarray(prompt_padded), jnp.asarray(p_len, jnp.int32), key,
         fixed_r,
         bundle_d=bundle_d, bundle_t=bundle_t, gamma=gamma, width=width,
@@ -238,13 +242,20 @@ def multi_speculative_generate(
     out = first_eos_truncate(tokens, p_len, int(cur_len), eos_token_id)
     if not details:
         return out
+    steps_i = int(steps)
     d = {
         "total_time": wall,
+        "acc_len": jax.device_get(acc_len_hist)[:steps_i].tolist(),
         "accepted_count": int(accepted),
         "acc_rate": float(rate_sum) / max(int(rate_cnt), 1),
-        "target_call_times": int(steps),
-        "approx_call_times": int(steps),
+        "target_call_times": steps_i,
+        "approx_call_times": steps_i,
         "tokens_generated": len(out) - p_len,
         "tokens_per_s": (len(out) - p_len) / wall if wall > 0 else float("nan"),
     }
+    fill_phase_split(
+        d, wall, steps_i, bundle_d, params_d, bundle_t, params_t,
+        draft_rows=width, verify_rows=width, gamma=gamma,
+        verify_tokens=gamma + 1, max_total=max_total,
+    )
     return out, d

@@ -1,0 +1,154 @@
+"""Calibrated phase-time split for fused engines (L3 observability).
+
+The reference fills ``details['approx_time'/'target_time'/'other_time']``
+by host-timing each phase of its Python loop
+(/root/reference/sampling/speculative_sampling.py:1937-1962, 2061-2074)
+plus per-call sub-timers inside the cache wrapper
+(/root/reference/sampling/kvcache_model.py:33-36). Our fast path compiles
+the WHOLE generation into one XLA program, so per-step host clocks are
+impossible without giving up the fusion (the stepwise diagnostic mode does
+exactly that). This module provides the honest middle ground the round-1
+verdict asked for: a one-time compile-warm calibration of the two phase
+kernels — the gamma-step draft loop and the single verify forward — at the
+engine's exact shapes (batch rows, gamma, verify window, max_total), cached
+per configuration. Engines multiply the measured per-dispatch times by
+their step counts:
+
+    approx_time ~= steps * t(draft gamma loop)
+    target_time ~= steps * t(verify forward)
+    other_time   = wall - approx_time - target_time   (>= 0 by rescale)
+
+The split is an estimate (sampling math and accept logic are fused into
+the same program and land in other_time), flagged with
+``phase_split_method = 'calibrated'`` so consumers can tell it apart from
+the stepwise mode's directly measured split.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_CAL: Dict[tuple, Tuple[float, float]] = {}
+
+
+@partial(jax.jit, static_argnames=("bundle", "rows", "max_total"))
+def _prefill_sim(params, *, bundle, rows, max_total):
+    cache = bundle.make_cache(rows, max_total)
+    toks = jnp.ones((rows, 8), jnp.int32)
+    _, cache = bundle.forward(params, bundle.cfg, toks, cache)
+    return cache
+
+
+@partial(jax.jit, static_argnames=("bundle", "gamma"))
+def _draft_loop_sim(params, cache, *, bundle, gamma):
+    """gamma sequential single-token forwards — the draft phase's shape."""
+    rows = cache.k.shape[1] if hasattr(cache, "k") else cache.pool_k.shape[1]
+    tok = jnp.ones((rows, 1), jnp.int32)
+
+    def body(carry, _):
+        cache, tok = carry
+        logits, cache = bundle.forward(params, bundle.cfg, tok, cache)
+        tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+        return (cache, tok), None
+
+    (cache, tok), _ = jax.lax.scan(body, (cache, tok), None, length=gamma)
+    return tok
+
+
+@partial(jax.jit, static_argnames=("bundle", "tokens"))
+def _verify_forward_sim(params, cache, *, bundle, tokens):
+    """One forward over the verify window — the target phase's shape."""
+    rows = cache.k.shape[1] if hasattr(cache, "k") else cache.pool_k.shape[1]
+    toks = jnp.ones((rows, tokens), jnp.int32)
+    logits, _ = bundle.forward(params, bundle.cfg, toks, cache)
+    return logits[:, -1].sum()
+
+
+def _best_of(fn, reps: int = 3) -> float:
+    jax.block_until_ready(fn())  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def calibrate_phase_times(
+    bundle_d, params_d, bundle_t, params_t, *,
+    draft_rows: int, verify_rows: int, gamma: int, verify_tokens: int,
+    max_total: int, draft_mode: str = "loop",
+) -> Tuple[float, float]:
+    """(t_draft_phase, t_verify_forward) in seconds, compile-warm, cached
+    per (bundles, shapes) so a harness run pays it once per config.
+
+    ``draft_mode='loop'``: gamma sequential cached single-token forwards
+    (every cached engine). ``draft_mode='full'``: gamma full-buffer
+    fresh-cache forwards — the no-KV-cache v2 engine's draft shape
+    (speculative_sampling.py:2079-2194 re-runs the whole prefix each
+    round); its verify is also one full-buffer forward.
+    """
+    ck = (bundle_d, bundle_t, draft_rows, verify_rows, gamma, verify_tokens,
+          max_total, draft_mode)
+    hit = _CAL.get(ck)
+    if hit is not None:
+        return hit
+    dc = _prefill_sim(params_d, bundle=bundle_d, rows=draft_rows,
+                      max_total=max_total)
+    tc = _prefill_sim(params_t, bundle=bundle_t, rows=verify_rows,
+                      max_total=max_total)
+    if draft_mode == "full":
+        full = max_total - 8  # prefill sim already holds 8 positions
+        t_draft = gamma * _best_of(lambda: _verify_forward_sim(
+            params_d, dc, bundle=bundle_d, tokens=full))
+        t_verify = _best_of(lambda: _verify_forward_sim(
+            params_t, tc, bundle=bundle_t, tokens=full))
+    else:
+        t_draft = _best_of(lambda: _draft_loop_sim(
+            params_d, dc, bundle=bundle_d, gamma=gamma))
+        t_verify = _best_of(lambda: _verify_forward_sim(
+            params_t, tc, bundle=bundle_t, tokens=verify_tokens))
+    _CAL[ck] = (t_draft, t_verify)
+    return _CAL[ck]
+
+
+def fill_phase_split(
+    d: dict, wall: float, steps: int,
+    bundle_d, params_d, bundle_t, params_t, *,
+    draft_rows: int, verify_rows: int, gamma: int, verify_tokens: int,
+    max_total: int, draft_mode: str = "loop",
+) -> dict:
+    """Fill the reference's phase keys (speculative_sampling.py:2061-2074)
+    into ``d`` from the calibrated per-dispatch times x ``steps``.
+
+    Also fills the reference's target sub-timers
+    (kvcache_model.py:33-36): in this design the whole verify dispatch is
+    model time — there is no host cache-prep or per-row norm-prob phase to
+    time (both are fused into the XLA program) — so
+    ``target_model_time = target_time`` and the other two are 0.
+    """
+    t_draft, t_verify = calibrate_phase_times(
+        bundle_d, params_d, bundle_t, params_t,
+        draft_rows=draft_rows, verify_rows=verify_rows, gamma=gamma,
+        verify_tokens=verify_tokens, max_total=max_total,
+        draft_mode=draft_mode,
+    )
+    approx = steps * t_draft
+    target = steps * t_verify
+    used = approx + target
+    if used > wall > 0:  # rescale into the measured wall
+        approx *= wall / used
+        target *= wall / used
+    d["approx_time"] = approx
+    d["target_time"] = target
+    d["other_time"] = max(wall - approx - target, 0.0)
+    d["target_model_time"] = target
+    d["target_pre_cache_time"] = 0.0
+    d["target_post_prob_time"] = 0.0
+    d["phase_split_method"] = "calibrated"
+    return d

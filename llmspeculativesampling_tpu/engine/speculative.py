@@ -47,6 +47,7 @@ from ..ops.sampling import (
     dist_sample,
     dist_take,
 )
+from .phases import fill_phase_split
 from .types import aligned_total, ModelBundle, first_eos_truncate, pad_prompt
 
 
@@ -350,6 +351,12 @@ def _spec_generate_stepwise(
         "approx_time": approx_t,
         "target_time": target_t,
         "other_time": wall - approx_t - target_t,
+        # kvcache_model.py:33-36 sub-timers: verify dispatch is all model
+        # time here (cache prep + prob norm are fused on device).
+        "target_model_time": target_t,
+        "target_pre_cache_time": 0.0,
+        "target_post_prob_time": 0.0,
+        "phase_split_method": "measured",
         "acc_len": acc_len,
         "acc_rate": acc_rate_sum / max(drafted, 1),
         "target_call_times": steps,
@@ -447,9 +454,6 @@ def speculative_generate(
     drafted = steps * gamma
     d = {
         "total_time": wall,
-        "approx_time": None,  # phase split needs stepwise mode
-        "target_time": None,
-        "other_time": None,
         "acc_len": jax.device_get(state.acc_len_hist)[:steps].tolist(),
         "acc_rate": float(state.acc_rate_sum) / max(drafted, 1),
         "target_call_times": steps,
@@ -460,4 +464,9 @@ def speculative_generate(
         "tokens_generated": len(out) - p_len,
         "tokens_per_s": (len(out) - p_len) / wall if wall > 0 else float("nan"),
     }
+    fill_phase_split(
+        d, wall, steps, bundle_d, params_d, bundle_t, params_t,
+        draft_rows=1, verify_rows=1, gamma=gamma, verify_tokens=gamma + 1,
+        max_total=max_total,
+    )
     return out, d

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sampling import SamplingConfig, norm_logits, sample
+from .phases import fill_phase_split
 from .speculative import accept_phase
 from .types import aligned_total, ModelBundle, first_eos_truncate, pad_prompt
 
@@ -63,7 +64,8 @@ def _spec_v2_device(
         return jnp.logical_and(cur_len < total, jnp.logical_not(done))
 
     def body(state):
-        tokens, cur_len, key, done, accepted, steps = state
+        (tokens, cur_len, key, done, accepted, steps,
+         hist, rate_sum) = state
 
         def draft_step(carry, _):
             tokens, pos, key = carry
@@ -86,21 +88,25 @@ def _spec_v2_device(
         )[0]
         p_stack = norm_logits(window, scfg)
 
-        tokens, new_len, _, n, _, _, key = accept_phase(
+        tokens, new_len, _, n, _, acc_step, key = accept_phase(
             scfg, gamma, eos_token_id, tokens, cur_len, q_stack, drafts, p_stack,
             key, fixed_r
         )
         pos = jnp.arange(tokens.shape[1])
         new_mask = (pos >= cur_len) & (pos < new_len)
         done = jnp.any(new_mask & (tokens[0] == eos_token_id))
-        return tokens, new_len, key, done, accepted + n, steps + 1
+        hist = jax.lax.dynamic_update_slice(hist, n[None], (steps,))
+        return (tokens, new_len, key, done, accepted + n, steps + 1,
+                hist, rate_sum + acc_step)
 
     state = (
         tokens, prompt_len, key, jnp.asarray(False),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        jnp.zeros((max_new_tokens,), jnp.int32), jnp.zeros((), jnp.float32),
     )
-    tokens, cur_len, _, _, accepted, steps = jax.lax.while_loop(cond, body, state)
-    return tokens, cur_len, accepted, steps
+    (tokens, cur_len, _, _, accepted, steps,
+     acc_len_hist, acc_rate_sum) = jax.lax.while_loop(cond, body, state)
+    return tokens, cur_len, accepted, steps, acc_len_hist, acc_rate_sum
 
 
 def speculative_generate_v2(
@@ -133,7 +139,8 @@ def speculative_generate_v2(
             jax.random.uniform(jax.random.key(random_seed), ()), (gamma,))
 
     t0 = time.perf_counter()
-    tokens, cur_len, accepted, steps = _spec_v2_device(
+    (tokens, cur_len, accepted, steps,
+     acc_len_hist, acc_rate_sum) = _spec_v2_device(
         params_d, params_t, jnp.asarray(prompt_padded), jnp.asarray(p_len, jnp.int32), key,
         fixed_r,
         bundle_d=bundle_d, bundle_t=bundle_t, gamma=gamma,
@@ -145,12 +152,20 @@ def speculative_generate_v2(
     out = first_eos_truncate(tokens, p_len, int(cur_len), eos_token_id)
     if not details:
         return out
+    steps_i = int(steps)
     d = {
         "total_time": wall,
+        "acc_len": jax.device_get(acc_len_hist)[:steps_i].tolist(),
+        "acc_rate": float(acc_rate_sum) / max(steps_i * gamma, 1),
         "accepted_count": int(accepted),
-        "target_call_times": int(steps),
-        "approx_call_times": int(steps),
+        "target_call_times": steps_i,
+        "approx_call_times": steps_i,
         "tokens_generated": len(out) - p_len,
         "tokens_per_s": (len(out) - p_len) / wall if wall > 0 else float("nan"),
     }
+    fill_phase_split(
+        d, wall, steps_i, bundle_d, params_d, bundle_t, params_t,
+        draft_rows=1, verify_rows=1, gamma=gamma, verify_tokens=gamma + 1,
+        max_total=max_total, draft_mode="full",
+    )
     return out, d
