@@ -110,6 +110,58 @@ def shard_cache(cache, mesh: Mesh):
     return jax.tree.map(place, cache)
 
 
+def slot_cache_place(x, mesh: Mesh):
+    """Placement for one leaf of a SLOT-STACKED cache (leading [S] axis
+    from the serving engine's _stack_slots): slots over dp, kv-heads over
+    tp, everything else replicated. Covers dense k/v [S,L,1,H,T,D], int8
+    scales [S,L,1,H,T], and the per-slot length [S]."""
+    if x.ndim == 6:
+        spec = P(DP_AXIS, None, None, TP_AXIS, None, None)
+    elif x.ndim == 5:
+        spec = P(DP_AXIS, None, None, TP_AXIS, None)
+    else:
+        spec = P(DP_AXIS)
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def shard_serving_state(state, mesh: Mesh):
+    """Place a serving ``BatchState`` on the mesh: the slot axis over dp,
+    cache kv-heads over tp (SURVEY.md §2.6 — continuous batching over the
+    data axis is the reference-absent capability being built). Requires
+    num_slots % dp == 0."""
+    spec_state = state.spec
+    dp = mesh.shape[DP_AXIS]
+    num_slots = spec_state.cur_len.shape[0]
+    assert num_slots % dp == 0, (
+        f"num_slots={num_slots} must divide over dp={dp}")
+
+    def place_rank(x):
+        spec = P(DP_AXIS, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    new_spec = spec_state._replace(
+        tokens=place_rank(spec_state.tokens),
+        cur_len=place_rank(spec_state.cur_len),
+        draft_cache=jax.tree.map(
+            lambda x: slot_cache_place(x, mesh), spec_state.draft_cache),
+        target_cache=jax.tree.map(
+            lambda x: slot_cache_place(x, mesh), spec_state.target_cache),
+        key=place_rank(spec_state.key),
+        done=place_rank(spec_state.done),
+        accepted=place_rank(spec_state.accepted),
+        resamples=place_rank(spec_state.resamples),
+        bonus=place_rank(spec_state.bonus),
+        steps=place_rank(spec_state.steps),
+        acc_rate_sum=place_rank(spec_state.acc_rate_sum),
+        acc_len_hist=place_rank(spec_state.acc_len_hist),
+    )
+    return state._replace(
+        spec=new_spec,
+        active=place_rank(state.active),
+        target_len=place_rank(state.target_len),
+    )
+
+
 def shard_params(params, specs, mesh: Mesh):
     """Place a param pytree on the mesh with the given PartitionSpecs.
 

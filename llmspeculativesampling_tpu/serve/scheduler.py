@@ -288,6 +288,7 @@ class ContinuousBatchingEngine:
         seed: int = 0,
         prompt_bucket: int = 64,
         steps_per_sync: int = 4,
+        mesh=None,
     ):
         # The batched step vmaps the model forward over slots; the
         # flash-decode pallas_call collapses that axis into its native
@@ -329,6 +330,22 @@ class ContinuousBatchingEngine:
             active=jnp.zeros((s,), bool),
             target_len=jnp.full((s,), max_total_len, jnp.int32),
         )
+
+        # --- multi-chip serving (VERDICT r1 #3): slot axis over dp, model
+        # weights megatron-sharded over tp, cache kv-heads over tp. GSPMD
+        # propagates the shardings through the batched step; all
+        # collectives are compiler-inserted over the mesh (SURVEY §2.6).
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import (
+                param_specs, shard_params, shard_serving_state,
+            )
+
+            self.params_d = shard_params(
+                params_d, param_specs(bundle_d.family, bundle_d.cfg), mesh)
+            self.params_t = shard_params(
+                params_t, param_specs(bundle_t.family, bundle_t.cfg), mesh)
+            self.state = shard_serving_state(self.state, mesh)
 
         self._next_rid = 0
         self._pending: collections.deque[Request] = collections.deque()

@@ -184,6 +184,61 @@ def test_tp_topk_sampling_avoids_fullwidth_gather():
             assert n <= tp * k * 4, f"wide collective in TP sampling: {m.group(0)}"
 
 
+def test_sharded_continuous_batching_engine():
+    """Serving path on the mesh (VERDICT r1 #3): slot axis over dp, params
+    megatron-sharded over tp, cache kv-heads over tp. The sharded engine
+    must produce the same completions as the unsharded one (same per-rid
+    PRNG streams; CPU numerics are deterministic)."""
+    from llmspeculativesampling_tpu.parallel.sharding import shard_serving_state  # noqa: F401
+    from llmspeculativesampling_tpu.serve.scheduler import ContinuousBatchingEngine
+
+    cfg_t = _llama_cfg(num_layers=3)
+    cfg_d = _llama_cfg(num_layers=1)
+    pt = llama.init_params(cfg_t, jax.random.key(0))
+    pd = {
+        "embed": pt["embed"], "ln_final": pt["ln_final"], "lm_head": pt["lm_head"],
+        "layers": jax.tree.map(lambda x: x[:1], pt["layers"]),
+    }
+    bt = ModelBundle("llama", cfg_t, llama.forward)
+    bd = ModelBundle("llama", cfg_d, llama.forward)
+
+    kw = dict(num_slots=4, max_total_len=128, max_new_cap=16, gamma=2,
+              eos_token_id=-1, temperature=1.0, top_k=10, top_p=0.9, seed=3,
+              prompt_bucket=16, steps_per_sync=2)
+    prompts = [list(range(5, 15)), list(range(30, 42)), list(range(60, 68))]
+
+    ref_eng = ContinuousBatchingEngine(bd, pd, bt, pt, **kw)
+    ref_rids = [ref_eng.submit(p, 8) for p in prompts]
+    ref_eng.run_until_idle()
+    ref_outs = {r: ref_eng.result(r).output_ids for r in ref_rids}
+
+    mesh = make_mesh(dp=2, tp=4)
+    eng = ContinuousBatchingEngine(bd, pd, bt, pt, mesh=mesh, **kw)
+    # state actually carries mesh shardings
+    sh = eng.state.spec.target_cache.k.sharding
+    assert sh.spec == P(DP_AXIS, None, None, TP_AXIS, None, None)
+    assert eng.params_t["layers"]["wq"].sharding.spec == P(None, None, TP_AXIS)
+    rids = [eng.submit(p, 8) for p in prompts]
+    eng.run_until_idle()
+    for r, rr in zip(rids, ref_rids):
+        c = eng.result(r)
+        assert c is not None
+        assert c.details["tokens_generated"] >= 8
+        np.testing.assert_array_equal(c.output_ids, ref_outs[rr])
+
+
+def test_shard_serving_state_rejects_bad_slot_count():
+    from llmspeculativesampling_tpu.serve.scheduler import ContinuousBatchingEngine
+
+    cfg = _llama_cfg(num_layers=1)
+    p = llama.init_params(cfg, jax.random.key(0))
+    b = ModelBundle("llama", cfg, llama.forward)
+    mesh = make_mesh(dp=2, tp=4)
+    with pytest.raises(AssertionError):
+        ContinuousBatchingEngine(b, p, b, p, num_slots=3, max_total_len=64,
+                                 eos_token_id=-1, mesh=mesh)
+
+
 def test_tp_speculative_generate_end_to_end():
     cfg_t = _llama_cfg(num_layers=3)
     cfg_d = _llama_cfg(num_layers=1)
