@@ -159,19 +159,28 @@ class BatchedInferenceServer:
     """
 
     def __init__(self, server: InferenceServer, num_slots: int = 4,
-                 max_total_len: int = 1024, max_new_cap: int = 256):
-        from .scheduler import ContinuousBatchingEngine
-
+                 max_total_len: int = 1024, max_new_cap: int = 256,
+                 engine=None):
         c = server.config
         self.tokenizer = server.tokenizer
         self.config = c
         self.stats = server.stats
-        self.engine = ContinuousBatchingEngine(
-            server.bundle_d, server.params_d, server.bundle_t, server.params_t,
-            num_slots=num_slots, max_total_len=max_total_len,
-            max_new_cap=max_new_cap, gamma=c.gamma, eos_token_id=c.eos_token_id,
-            temperature=c.temperature, top_k=c.top_k, top_p=c.top_p,
-        )
+        if engine is not None:
+            # any engine with the scheduler interface (submit / step /
+            # result / completions / _pending / num_active) — used to put
+            # the paged engine behind the HTTP front door (VERDICT r1 #8)
+            self.engine = engine
+        else:
+            from .scheduler import ContinuousBatchingEngine
+
+            self.engine = ContinuousBatchingEngine(
+                server.bundle_d, server.params_d, server.bundle_t,
+                server.params_t,
+                num_slots=num_slots, max_total_len=max_total_len,
+                max_new_cap=max_new_cap, gamma=c.gamma,
+                eos_token_id=c.eos_token_id,
+                temperature=c.temperature, top_k=c.top_k, top_p=c.top_p,
+            )
         self._cv = threading.Condition()
         self._results: dict = {}
         self._stop = False
@@ -273,11 +282,33 @@ def main(argv=None):
     p.add_argument("--num_slots", type=int, default=0,
                    help=">0 enables continuous batching with that many slots")
     p.add_argument("--max_total_len", type=int, default=1024)
+    p.add_argument("--paged", action="store_true",
+                   help="serve through the paged-KV engine (block-pool "
+                        "cache, best-throughput path per docs/PERFORMANCE.md)")
+    p.add_argument("--prefix_cache", action="store_true",
+                   help="with --paged: automatic prefix caching — repeated "
+                        "page-aligned prompt prefixes skip their prefill")
+    p.add_argument("--kv_quant", action="store_true",
+                   help="with --paged: int8 KV pools")
+    p.add_argument("--num_blocks", type=int, default=64)
+    p.add_argument("--page", type=int, default=128)
     args = p.parse_args(argv)
     srv = InferenceServer.from_pretrained(
         args.approx_model_name, args.target_model_name,
         ServerConfig(num_tokens=args.num_tokens, gamma=args.gamma))
-    if args.num_slots > 0:
+    if args.paged:
+        from .paged import PagedEngine
+
+        c = srv.config
+        engine = PagedEngine(
+            srv.bundle_d, srv.params_d, srv.bundle_t, srv.params_t,
+            batch_rows=args.num_slots or 8, num_blocks=args.num_blocks,
+            page=args.page, gamma=c.gamma, eos_token_id=c.eos_token_id,
+            temperature=c.temperature, top_k=c.top_k, top_p=c.top_p,
+            kv_quant=args.kv_quant, prefix_cache=args.prefix_cache,
+        )
+        srv = BatchedInferenceServer(srv, engine=engine)
+    elif args.num_slots > 0:
         srv = BatchedInferenceServer(srv, num_slots=args.num_slots,
                                      max_total_len=args.max_total_len)
     httpd = make_http_server(srv, args.host, args.port)

@@ -1,0 +1,104 @@
+"""Two-process lockstep worker for MultiHostDriver (VERDICT r1 #9).
+
+Launched once per process by tests/test_multihost_lockstep.py (and usable
+by hand):
+
+    python scripts/multihost_worker.py <pid> <nprocs> <port> <out.json>
+
+Each process initializes ``jax.distributed`` over localhost with gloo CPU
+collectives, builds the SAME tiny engine deterministically, and runs a
+fixed number of lockstep rounds. Host 0 submits the requests and dumps its
+completions; every host dumps its final slot token rows — identical
+replicated state is the lockstep invariant (serve/multihost.py docstring).
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid, nprocs, port, out_path = (
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import jax
+
+    # the axon TPU plugin re-asserts JAX_PLATFORMS at import; force cpu
+    # before the first backend touch or the distributed client never wires
+    # into the CPU backend (process_count would stay 1)
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nprocs, process_id=pid)
+    assert jax.process_count() == nprocs, jax.process_count()
+
+    import numpy as np
+
+    from llmspeculativesampling_tpu.core.config import LlamaConfig
+    from llmspeculativesampling_tpu.engine.types import ModelBundle
+    from llmspeculativesampling_tpu.models import llama
+    from llmspeculativesampling_tpu.serve.multihost import MultiHostDriver
+    from llmspeculativesampling_tpu.serve.scheduler import ContinuousBatchingEngine
+
+    engine, prompts = build_engine()
+    driver = MultiHostDriver(engine, prompt_cap=64)
+    rids = []
+    if driver.is_primary:
+        rids = [driver.submit(p, 8) for p in prompts]
+
+    for _ in range(ROUNDS):
+        driver.round()
+
+    tokens = np.asarray(engine.state.spec.tokens)[:, 0]  # [S, T]
+    out = {
+        "process": pid,
+        "token_rows": tokens.tolist(),
+        "completions": {},
+    }
+    if driver.is_primary:
+        for rid in rids:
+            c = driver.result(rid)
+            assert c is not None, f"rid {rid} incomplete after {ROUNDS} rounds"
+            out["completions"][str(rid)] = c.output_ids.tolist()
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    print(f"worker {pid} done", flush=True)
+
+
+ROUNDS = 6
+
+
+def build_engine():
+    """Deterministic tiny engine + the canonical prompt set (shared with
+    the in-process single-host reference run in the test)."""
+    import jax
+
+    from llmspeculativesampling_tpu.core.config import LlamaConfig
+    from llmspeculativesampling_tpu.engine.types import ModelBundle
+    from llmspeculativesampling_tpu.models import llama
+    from llmspeculativesampling_tpu.serve.scheduler import ContinuousBatchingEngine
+
+    cfg_t = LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_layers=3,
+        num_heads=8, num_kv_heads=8, max_position=128, dtype="float32")
+    cfg_d = LlamaConfig(**{**cfg_t.__dict__, "num_layers": 1})
+    pt = llama.init_params(cfg_t, jax.random.key(0))
+    pd = {
+        "embed": pt["embed"], "ln_final": pt["ln_final"],
+        "lm_head": pt["lm_head"],
+        "layers": jax.tree.map(lambda x: x[:1], pt["layers"]),
+    }
+    engine = ContinuousBatchingEngine(
+        ModelBundle("llama", cfg_d, llama.forward), pd,
+        ModelBundle("llama", cfg_t, llama.forward), pt,
+        num_slots=2, max_total_len=64, max_new_cap=16, gamma=2,
+        eos_token_id=-1, temperature=1.0, top_k=10, top_p=0.9, seed=7,
+        prompt_bucket=16, steps_per_sync=2)
+    prompts = [list(range(5, 15)), list(range(30, 42))]
+    return engine, prompts
+
+
+if __name__ == "__main__":
+    main()

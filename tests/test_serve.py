@@ -67,6 +67,76 @@ def test_http_predict_roundtrip():
         httpd.shutdown()
 
 
+def test_paged_engine_behind_http_front_door():
+    """--paged serving path (VERDICT r1 #8): the paged block-pool engine
+    behind the BatchedInferenceServer condition-variable front end, driven
+    through a live HTTP round trip with prefix caching on."""
+    from llmspeculativesampling_tpu.serve.paged import PagedEngine
+
+    base = _tiny_server()
+    c = base.config
+    engine = PagedEngine(
+        base.bundle_d, base.params_d, base.bundle_t, base.params_t,
+        batch_rows=2, num_blocks=16, page=32, gamma=c.gamma,
+        eos_token_id=c.eos_token_id, temperature=c.temperature,
+        top_k=c.top_k, top_p=c.top_p, prefix_cache=True, prompt_bucket=16,
+    )
+    srv = BatchedInferenceServer(base, engine=engine)
+    httpd = make_http_server(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        prompt = list(range(10, 26))
+        for _ in range(2):  # second request repeats the prefix (cache hit path)
+            body = json.dumps({"prompt_ids": prompt, "max_tokens": 6})
+            conn.request("POST", "/predict", body,
+                         {"Content-Type": "application/json"})
+            resp = json.loads(conn.getresponse().read())
+            assert resp["output_ids"][:16] == prompt
+            assert len(resp["output_ids"]) > 16
+        conn.request("GET", "/stats")
+        assert json.loads(conn.getresponse().read())["requests"] == 2
+    finally:
+        httpd.shutdown()
+        srv.shutdown()
+
+
+def test_server_cli_paged_flags():
+    """python -m ...serve.server --paged --prefix_cache wires a PagedEngine
+    (flag plumbing only; no socket)."""
+    import llmspeculativesampling_tpu.serve.server as S
+    from llmspeculativesampling_tpu.serve.paged import PagedEngine
+
+    captured = {}
+
+    def fake_http(srv, host, port):
+        captured["srv"] = srv
+
+        class Dummy:
+            def serve_forever(self):
+                pass
+
+        return Dummy()
+
+    orig = S.make_http_server
+    orig_pre = S.InferenceServer.from_pretrained
+    S.make_http_server = fake_http
+    S.InferenceServer.from_pretrained = classmethod(
+        lambda cls, a, t, config=None: _tiny_server())
+    try:
+        S.main(["--paged", "--prefix_cache", "--num_slots", "2",
+                "--num_blocks", "8", "--page", "32"])
+        srv = captured["srv"]
+        assert isinstance(srv.engine, PagedEngine)
+        assert srv.engine.prefix_cache
+        srv.shutdown()
+    finally:
+        S.make_http_server = orig
+        S.InferenceServer.from_pretrained = orig_pre
+
+
 def test_batched_server_concurrent_requests():
     """Concurrent POSTs share the slot batch (continuous batching, M7)."""
     srv = BatchedInferenceServer(_tiny_server(), num_slots=3, max_total_len=256)
