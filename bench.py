@@ -65,6 +65,44 @@ def build_models(quantize: bool):
     return bd, pd, bt, pt
 
 
+def acceptance_sweep(ar_best, prompt, gen_kw, make_pair):
+    """Acceptance-sensitivity sweep (round-1 verdict #5): the headline's
+    0.88 acceptance comes from the synthetic pair's ``damp`` knob; a real
+    trained 68m/13B pair sits nearer 0.6-0.8 where acceptance^gamma decays
+    faster and the optimal gamma (and speedup) drop. Re-generate the pair
+    at several damps (same shapes -> jit cache hits; old params freed
+    first so the 13 GB target never exists twice) and report the measured
+    acceptance, best gamma, and tok/s at each."""
+    import gc
+
+    from llmspeculativesampling_tpu.engine.speculative import speculative_generate
+
+    rows = []
+    for damp in (0.008, 0.05, 0.12):
+        pair = make_pair(damp)
+        bd, pd, bt, pt = pair
+        best = None
+        for gamma in (8, 16, 24):
+            d_last = None
+            for k in (1, 2):  # k=1 pays any compile; k=2 is timed
+                _, d_last = speculative_generate(
+                    bd, pd, bt, pt, prompt, MAX_NEW, gamma=gamma,
+                    key=jax.random.key(k), details=True, **gen_kw)
+            if best is None or d_last["tokens_per_s"] > best[1]["tokens_per_s"]:
+                best = (gamma, d_last)
+        gamma, d = best
+        rows.append({
+            "damp": damp,
+            "acc_rate": round(d["acc_rate"], 4),
+            "best_gamma": gamma,
+            "tokens_per_s": round(d["tokens_per_s"], 2),
+            "vs_ar": round(d["tokens_per_s"] / ar_best, 3) if ar_best else None,
+        })
+        del pair, bd, pd, bt, pt
+        gc.collect()
+    return rows
+
+
 def main():
     import sys
 
@@ -108,6 +146,26 @@ def main():
         if k > 1 and dsp["tokens_per_s"] > sp_best:
             sp_best, d_best = dsp["tokens_per_s"], dsp
 
+    # acceptance-sensitivity sweep (13B config only; skipped on fallback
+    # where the shared-prefix pair's damp has a different meaning)
+    acc_sweep = []
+    realistic = None
+    if config == "13b-int8":
+        import gc
+
+        from llmspeculativesampling_tpu.core.synthetic import (
+            synthetic_pair_int8_small_draft,
+        )
+
+        del bd, pd, bt, pt
+        gc.collect()
+        acc_sweep = acceptance_sweep(
+            ar_best, prompt, gen_kw,
+            lambda damp: synthetic_pair_int8_small_draft(damp=damp))
+        # "realistic" = the sweep point closest to a trained pair's ~0.75
+        if acc_sweep:
+            realistic = min(acc_sweep, key=lambda r: abs(r["acc_rate"] - 0.75))
+
     print(json.dumps({
         "metric": "spec_decode_tokens_per_s",
         "value": round(sp_best, 2),
@@ -119,6 +177,8 @@ def main():
         "gamma": gamma,
         "weights": "int8",
         "config": config,
+        "acc_sweep": acc_sweep,
+        "realistic": realistic,
         "device": str(jax.devices()[0]),
     }))
 

@@ -32,7 +32,16 @@ import jax
 import jax.numpy as jnp
 
 from ..cache.kvcache import KVCache, rollback, select_rows
-from ..ops.sampling import SamplingConfig, norm_logits, sample_k
+from ..ops.sampling import (
+    SamplingConfig,
+    TopKDist,
+    joint_topk_from_logp,
+    norm_logits,
+    prob_of_topk,
+    sample_k,
+    sample_k_topk,
+    use_sparse,
+)
 
 _SCORE_CLAMP = -1e10
 
@@ -45,7 +54,9 @@ class BeamDraftResult(NamedTuple):
     step_beam_idx: jax.Array  # [gamma, B] parent row at each step (pre-reorder indexing)
     step_next_tok: jax.Array  # [gamma, B]
     step_chosen_q: jax.Array  # [gamma, B] chosen joint prob (step arrangement)
-    step_joint_q: jax.Array   # [gamma, B*V] full joint distribution per step
+    step_joint_q: jax.Array   # per-step joint distribution: dense [gamma, B*V]
+                              # or, with top-k warping, a flat-id TopKDist
+                              # with leading gamma axis (sparse fast path)
     perbeam_probs: jax.Array  # [B, gamma, V] per-beam normalized dist along each path
     step_root: jax.Array      # [gamma, B] root of each node (step arrangement)
     cache: KVCache
@@ -110,13 +121,21 @@ def beam_draft(
         cache, beam_scores, tail, seq_q, probs_buf, root, key, step = carry
         logp = jax.nn.log_softmax(logits_b.astype(jnp.float32), axis=-1)  # [B, V]
         joint = logp + beam_scores[:, None]
-        q_joint = norm_logits(joint.reshape(1, -1), joint_cfg)[0]  # [B*V]
         key, ks = jax.random.split(key)
-        t = sample_k(ks, q_joint[None], b)[0]  # [B] without replacement
+        if use_sparse(joint_cfg):
+            # candidate-space joint: per-row top-k + merge, never a [B*V]
+            # sort (ops/sampling.py sparse-joint rationale)
+            q_dist = joint_topk_from_logp(logp, beam_scores, joint_cfg)
+            t = sample_k_topk(ks, q_dist, b)  # [B] without replacement
+            chosen_q = prob_of_topk(q_dist, t)
+        else:
+            q_joint = norm_logits(joint.reshape(1, -1), joint_cfg)[0]  # [B*V]
+            q_dist = q_joint
+            t = sample_k(ks, q_joint[None], b)[0]  # [B] without replacement
+            chosen_q = q_joint[t]
         parent = t // vocab
         next_tok = t % vocab
-        chosen_joint_score = jnp.maximum(joint.reshape(-1)[t], _SCORE_CLAMP)
-        chosen_q = q_joint[t]
+        chosen_joint_score = jnp.maximum(joint[parent, next_tok], _SCORE_CLAMP)
 
         cache = select_rows(cache, parent)
         tail = tail[parent].at[:, step].set(next_tok)
@@ -125,7 +144,7 @@ def beam_draft(
         probs_buf = probs_buf[parent].at[:, step].set(perbeam[parent])
         root = root[parent]
         new_carry = (cache, chosen_joint_score, tail, seq_q, probs_buf, root, key, step + 1)
-        ys = (parent, next_tok, chosen_q, q_joint, root)
+        ys = (parent, next_tok, chosen_q, q_dist, root)
         return new_carry, ys
 
     tail = jnp.zeros((b, gamma), jnp.int32)

@@ -33,7 +33,17 @@ import jax
 import jax.numpy as jnp
 
 from ..cache.kvcache import rollback, select_rows
-from ..ops.sampling import SamplingConfig, max_fn, norm_logits, sample
+from ..ops.sampling import (
+    SamplingConfig,
+    TopKDist,
+    dist_norm,
+    dist_prob_of,
+    dist_sample,
+    dist_take,
+    max_fn,
+    sample,
+    use_sparse,
+)
 from .beam_draft import beam_draft, top_width
 from .phases import fill_phase_split
 from .types import aligned_total, ModelBundle, first_eos_truncate, pad_prompt
@@ -122,11 +132,12 @@ def _beam_spec_device(
         last_committed = jax.lax.dynamic_slice(tokens, (0, cur_len - 1), (1, 1))
         vin = jnp.concatenate([jnp.broadcast_to(last_committed, (w, 1)), cand], axis=1)
         logits, target_cache = bundle_t.forward(params_t, cfg_t, vin, target_cache)
-        p_stack = norm_logits(logits, scfg)  # [w, gamma+1, V]
+        p_stack = dist_norm(logits, scfg)  # [w, gamma+1, ...] dense or sparse
 
         widx = jnp.arange(w)[:, None]
         gidx = jnp.arange(gamma)[None, :]
-        p_sel = p_stack[:, :gamma][widx, gidx, cand]  # [w, gamma]
+        p_head = jax.tree.map(lambda x: x[:, :gamma], p_stack)
+        p_sel = dist_prob_of(p_head, cand)  # [w, gamma]
 
         key, kacc, kt = jax.random.split(key, 3)
         if mode == "beam":
@@ -145,16 +156,36 @@ def _beam_spec_device(
         win = cand[choice]
         tokens = jax.lax.dynamic_update_slice(tokens, win[None], (0, cur_len))
 
-        p_l = jnp.take(p_stack[choice], max_l, axis=0)  # dist at first unaccepted pos
-        if mode == "beam":
-            q_pad = jnp.concatenate([perbeam_q[choice], jnp.zeros((1, cfg_t.vocab_size))], axis=0)
-            q_l = jnp.take(q_pad, max_l, axis=0)
-            resid = max_fn(p_l - q_l)
-            resid = jnp.where(jnp.sum(resid) < 1e-6, p_l, resid)
+        p_choice = jax.tree.map(lambda x: x[choice], p_stack)
+        p_l = dist_take(p_choice, max_l)  # dist at first unaccepted pos
+        if use_sparse(scfg):
+            if mode == "beam":
+                # q is the dense per-beam draft dist; the residual's support
+                # is p_l's, so only q's mass at p_l.idx matters
+                q_pad = jnp.concatenate(
+                    [perbeam_q[choice], jnp.zeros((1, cfg_t.vocab_size))], axis=0)
+                q_l = jnp.take(q_pad, max_l, axis=0)
+                q_at_p = jnp.take(q_l, p_l.idx)
+                wres = jnp.maximum(p_l.probs - q_at_p, 0.0)
+                rp = wres / (jnp.sum(wres) + 1e-6)
+                rp = jnp.where(jnp.sum(rp) < 1e-6, p_l.probs, rp)
+                resid = TopKDist(p_l.idx, rp)
+            else:
+                # max_fn(p) == p / (1 + eps) on p's own support (:1332)
+                resid = TopKDist(p_l.idx, max_fn(p_l.probs))
+            t_res = dist_sample(kt, resid)
+            t_bonus = dist_sample(kt, dist_take(p_choice, gamma))
         else:
-            resid = max_fn(p_l)  # reference :1332 samples max_fn(p), not p-q
-        t_res = sample(kt, resid[None])[0]
-        t_bonus = sample(kt, p_stack[choice, gamma][None])[0]
+            if mode == "beam":
+                q_pad = jnp.concatenate(
+                    [perbeam_q[choice], jnp.zeros((1, cfg_t.vocab_size))], axis=0)
+                q_l = jnp.take(q_pad, max_l, axis=0)
+                resid = max_fn(p_l - q_l)
+                resid = jnp.where(jnp.sum(resid) < 1e-6, p_l, resid)
+            else:
+                resid = max_fn(p_l)  # reference :1332 samples max_fn(p), not p-q
+            t_res = sample(kt, resid[None])[0]
+            t_bonus = sample(kt, p_stack[choice, gamma][None])[0]
         t = jnp.where(all_acc, t_bonus, t_res)
         new_len = cur_len + max_l + 1
         tokens = jax.lax.dynamic_update_slice(tokens, t[None, None], (0, new_len - 1))
@@ -187,9 +218,9 @@ def _beam_spec_device(
 def _run(
     mode, bundle_d, params_d, bundle_t, params_t, prompt, max_new_tokens, *,
     gamma, width, num_beams, accept_thres, eos_token_id,
-    temperature, top_k, top_p, key, details, random_seed=None,
+    temperature, top_k, top_p, key, details, random_seed=None, tp_mesh=None,
 ):
-    scfg = SamplingConfig(temperature, top_k, top_p)
+    scfg = SamplingConfig(temperature, top_k, top_p, tp_mesh=tp_mesh)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)
     if p_len < 2:
@@ -243,6 +274,7 @@ def multi_beam_generate(
     gamma: int = 4, width: int = 4, num_beams: Optional[int] = None,
     eos_token_id: int, temperature: float = 1.0, top_k: int = 0,
     top_p: float = 0.0, key=None, random_seed=None, details: bool = False,
+    tp_mesh=None,
 ):
     """multi_speculative_sampling(strategy='beam') equivalent."""
     return _run(
@@ -250,7 +282,7 @@ def multi_beam_generate(
         gamma=gamma, width=width, num_beams=num_beams or max(4, width),
         accept_thres=0.0, eos_token_id=eos_token_id, temperature=temperature,
         top_k=top_k, top_p=top_p, key=key, random_seed=random_seed,
-        details=details,
+        details=details, tp_mesh=tp_mesh,
     )
 
 
@@ -259,6 +291,7 @@ def mjsd_generate(
     gamma: int = 4, width: int = 8, num_beams: int = 8, accept_thres: float = 0.1,
     eos_token_id: int, temperature: float = 1.0, top_k: int = 0,
     top_p: float = 0.0, key=None, random_seed=None, details: bool = False,
+    tp_mesh=None,
 ):
     """mjsd_speculative_sampling equivalent (multi-token joint accept).
 
@@ -271,5 +304,5 @@ def mjsd_generate(
         gamma=gamma, width=width, num_beams=num_beams, accept_thres=accept_thres,
         eos_token_id=eos_token_id, temperature=temperature,
         top_k=top_k, top_p=top_p, key=key, random_seed=random_seed,
-        details=details,
+        details=details, tp_mesh=tp_mesh,
     )

@@ -48,7 +48,24 @@ import jax.numpy as jnp
 
 from ..cache.kvcache import KVCache, compact_tree_paths, rollback, select_rows
 from ..ops.dp import acceptance_alphas, get_expect_cnt_by_thres, num_accept_distribution
-from ..ops.sampling import SamplingConfig, max_fn, norm_logits, sample, sample_k
+from ..ops.sampling import (
+    SamplingConfig,
+    TopKDist,
+    dist_norm,
+    acceptance_alphas_topk,
+    joint_topk_from_dists,
+    max_fn,
+    norm_logits,
+    norm_logits_topk,
+    prob_of_topk,
+    residual_topk,
+    rewarp_topk,
+    sample,
+    sample_k,
+    sample_k_topk,
+    sample_topk,
+    use_sparse,
+)
 from .beam_draft import beam_draft
 from .phases import fill_phase_split
 from .types import aligned_total, ModelBundle, pad_prompt
@@ -107,6 +124,16 @@ def tree_verify(
     logits, cache = bundle.forward(
         params, bundle.cfg, vin, cache, positions=positions, tree_mask=block
     )
+    if use_sparse(scfg):
+        # sparse rows: [R/N, k] candidate (ids, probs) — never a [.., V]
+        # softmax/sort (ops/sampling.py sparse-joint rationale); dist_norm
+        # routes vocab-sharded logits through the distributed top-k
+        d = dist_norm(logits, scfg)  # idx/probs [R, N+1, k]
+        rr = jnp.clip(node_roots, 0, r_rows - 1)
+        cols = jnp.arange(n) + 1
+        p_root = TopKDist(d.idx[:, 0], d.probs[:, 0])
+        p_nodes = TopKDist(d.idx[rr, cols], d.probs[rr, cols])
+        return p_root, p_nodes, cache
     probs = norm_logits(logits, scfg)  # [R, N+1, V]
     p_root = probs[:, 0]
     p_nodes = probs[jnp.clip(node_roots, 0, r_rows - 1), jnp.arange(n) + 1]
@@ -379,6 +406,148 @@ def _v2_walk(
     return t, max_l, all_acc, new_scores, rate_sum, key, jnp.stack(expect_levels)
 
 
+def _pad_rows(dist: TopKDist, b: int, r_slots: int) -> TopKDist:
+    """[r_slots, k] -> [b, k] with zero-prob padding rows."""
+    if r_slots >= b:
+        return TopKDist(dist.idx[:b], dist.probs[:b])
+    pad = b - r_slots
+    k = dist.probs.shape[-1]
+    return TopKDist(
+        jnp.concatenate([dist.idx, jnp.zeros((pad, k), jnp.int32)]),
+        jnp.concatenate([dist.probs, jnp.zeros((pad, k), jnp.float32)]),
+    )
+
+
+def _row_slice(p_nodes: TopKDist, lo: int, hi: int) -> TopKDist:
+    return TopKDist(p_nodes.idx[lo:hi], p_nodes.probs[lo:hi])
+
+
+def _prob_at(dist: TopKDist, flat_ids: jax.Array) -> jax.Array:
+    """Probability mass at each flat id ([n] ints) under a flat-candidate
+    joint dist ([K])."""
+    hit = dist.idx[None, :] == flat_ids[:, None]
+    return jnp.sum(jnp.where(hit, dist.probs[None, :], 0.0), axis=-1)
+
+
+def _v2_walk_sparse(
+    scfg, gamma, num_beams, vocab, expect_thres, min_num_beams,
+    res, p_root, p_nodes, r_slots, key,
+):
+    """Sparse (candidate-space) dynamic-width DP walk — same math as
+    :func:`_v2_walk` restricted to the joints' top-k supports. All
+    per-level state lives on <= top_k candidates instead of [B*V]
+    (ops/sampling.py sparse-joint rationale); exact up to the dense path's
+    1e-30 log floor on zero-prob entries."""
+    b = num_beams
+    key, kr = jax.random.split(key)
+    rmat = jax.random.uniform(kr, (gamma, b))
+
+    kk = p_root.probs.shape[-1]  # scfg.top_k (verify row width)
+    active = jnp.asarray(True)
+    max_l = jnp.zeros((), jnp.int32)
+    valid = jnp.arange(b) < r_slots
+    beam_scores = jnp.zeros((b,), jnp.float32)
+    f_dist = TopKDist(jnp.zeros((kk,), jnp.int32), jnp.zeros((kk,), jnp.float32))
+    f_resid = jnp.zeros((kk,), jnp.float32)
+    f_sample_idx = jnp.zeros((b,), jnp.int32)
+    f_accept = jnp.zeros((b,), bool)
+    f_acc_cnt = jnp.zeros((), jnp.int32)
+    rate_sum = jnp.zeros((), jnp.float32)
+    expect_levels = []
+
+    for i in range(gamma):
+        parent_idx = res.step_beam_idx[i]
+        if i == 0:
+            rows = _pad_rows(p_root, b, r_slots)
+        else:
+            rows = _row_slice(p_nodes, (i - 1) * b, i * b)
+        from_valid = valid[parent_idx]
+        p_next = joint_topk_from_dists(rows, beam_scores, valid, scfg, vocab)
+        qd = res.step_joint_q  # TopKDist [gamma, k] (sparse beam draft)
+        q_row = TopKDist(qd.idx[i], jnp.where(
+            valid[qd.idx[i] // vocab], qd.probs[i], 0.0))
+        sample_idx = parent_idx * vocab + res.step_next_tok[i]
+        q_scores = res.step_chosen_q[i]
+
+        alphas = acceptance_alphas_topk(p_next, q_row, b)
+        probs_k, expect = num_accept_distribution(alphas, b)
+        p_width = jnp.concatenate([probs_k[1:], probs_k[:1]])  # reference layout
+        if expect_thres < 0:
+            expect_cnt = jnp.floor(expect).astype(jnp.int32)
+        else:
+            expect_cnt = get_expect_cnt_by_thres(p_width, expect_thres)
+        expect_cnt = jnp.maximum(expect_cnt, min_num_beams)
+        expect_levels.append(jnp.where(active, expect_cnt, -1))
+
+        # q's mass at p_next's candidates (constant for the level)
+        q_at_p = jnp.sum(jnp.where(
+            p_next.idx[:, None] == q_row.idx[None, :],
+            q_row.probs[None, :], 0.0), axis=-1)
+        p_at_samples = _prob_at(p_next, sample_idx)  # [b]
+
+        def bstep(carry, j):
+            cur_probs, acc_cnt, accept = carry
+            p_score = jnp.sum(jnp.where(
+                p_next.idx == sample_idx[j], cur_probs, 0.0))
+            ok_slots = acc_cnt < expect_cnt
+            a = from_valid[j] & ok_slots & (
+                p_score / (q_scores[j] + 1e-6) > rmat[i, j])
+            resid = jnp.maximum(cur_probs - q_at_p, 0.0)
+            resid = resid / (jnp.sum(resid) + 1e-6)
+            cur_probs = jnp.where(a, p_next.probs, resid)
+            return (cur_probs, acc_cnt + a.astype(jnp.int32),
+                    accept.at[j].set(a)), None
+
+        (resid_probs, acc_cnt, accept), _ = jax.lax.scan(
+            bstep, (p_next.probs, jnp.zeros((), jnp.int32),
+                    jnp.zeros((b,), bool)),
+            jnp.arange(b),
+        )
+
+        level_ok = acc_cnt >= expect_cnt
+        advance = active & level_ok
+        fail_now = active & jnp.logical_not(level_ok)
+
+        p_sc = jnp.where(accept, p_at_samples, 0.0)
+        beam_scores = jnp.where(advance, jnp.log(p_sc + 1e-30), beam_scores)
+        valid = jnp.where(advance, accept, valid)
+        max_l = max_l + advance.astype(jnp.int32)
+        rate_sum = rate_sum + jnp.where(
+            active, jnp.mean(accept.astype(jnp.float32)), 0.0)
+
+        f_dist = TopKDist(
+            jnp.where(fail_now, p_next.idx, f_dist.idx),
+            jnp.where(fail_now, p_next.probs, f_dist.probs),
+        )
+        f_resid = jnp.where(fail_now, resid_probs, f_resid)
+        f_sample_idx = jnp.where(fail_now, sample_idx, f_sample_idx)
+        f_accept = jnp.where(fail_now, accept, f_accept)
+        f_acc_cnt = jnp.where(fail_now, acc_cnt, f_acc_cnt)
+        active = active & level_ok
+
+    all_acc = active
+    rows = _row_slice(p_nodes, (gamma - 1) * b, gamma * b)
+    p_final = joint_topk_from_dists(rows, beam_scores, valid, scfg, vocab)
+
+    key, k1, k2, k3 = jax.random.split(key, 4)
+    t_all = sample_k_topk(k1, p_final, num_beams)
+    t_fail = sample_k_topk(k2, f_dist, num_beams)
+    t_resid = sample_topk(k3, TopKDist(f_dist.idx, f_resid))
+    if r_slots == 1:
+        # extra_sample_cnt == 1: single draw; partial case from the residual (:446)
+        t_partial = t_resid[None].repeat(num_beams)
+    else:
+        order = jnp.argsort(jnp.logical_not(f_accept), stable=True)
+        acc_sorted = f_sample_idx[order]
+        slots = jnp.arange(num_beams)
+        t_partial = jnp.where(slots < f_acc_cnt, acc_sorted, t_fail)
+        t_partial = jnp.where(slots == f_acc_cnt, t_resid, t_partial)
+    t = jnp.where(all_acc, t_all, t_partial)
+    score = jnp.where(all_acc, _prob_at(p_final, t), _prob_at(f_dist, t))
+    new_scores = jnp.log(score + 1e-30)[:r_slots]
+    return t, max_l, all_acc, new_scores, rate_sum, key, jnp.stack(expect_levels)
+
+
 def _v1_walk(scfg, gamma, num_beams, vocab, min_num_beams, res, p_root, p_nodes, state, r_slots, key):
     """Always-accept rescoring walk (reference :772-892 — note r-1 quirk)."""
     b = num_beams
@@ -430,6 +599,69 @@ def _v1_walk(scfg, gamma, num_beams, vocab, min_num_beams, res, p_root, p_nodes,
     key, kt = jax.random.split(key)
     t = sample_k(kt, p_resample[None], num_beams)[0]
     new_scores = jnp.log(p_resample[t] + 1e-30)[:r_slots]
+    return t, max_l, all_acc, new_scores, rate_sum, key
+
+
+def _v1_walk_sparse(
+    scfg, gamma, num_beams, vocab, min_num_beams, res, p_root, p_nodes,
+    state, r_slots, key,
+):
+    """Sparse always-accept rescoring walk — :func:`_v1_walk` restricted
+    to the warped rows' candidate support (the plain joint softmax :826
+    already has support <= B*k because cur_p is row-warped)."""
+    b = num_beams
+    key, kr = jax.random.split(key)
+    rmat = jax.random.uniform(kr, (gamma,)) - 1.0  # :845 — always below any ratio
+
+    kk = p_root.probs.shape[-1]
+    nall = b * kk
+    plain = SamplingConfig(1.0, 0, 0.0)  # plain softmax at accept (:826)
+    active = jnp.asarray(True)
+    max_l = jnp.zeros((), jnp.int32)
+    first = state.first
+    valid = jnp.where(first, jnp.arange(b) == 0, jnp.ones((b,), bool))
+    beam_scores = jnp.where(first, jnp.zeros((b,)), state.beam_scores)
+    f_dist = TopKDist(jnp.zeros((nall,), jnp.int32), jnp.zeros((nall,), jnp.float32))
+    rate_sum = jnp.zeros((), jnp.float32)
+
+    for i in range(gamma):
+        parent_idx = res.step_beam_idx[i]
+        if i == 0:
+            parent_idx = jnp.where(first, jnp.zeros_like(parent_idx), parent_idx)  # :797
+            rows = _pad_rows(p_root, b, r_slots)
+        else:
+            rows = _row_slice(p_nodes, (i - 1) * b, i * b)
+        from_valid = valid[parent_idx]
+        p_next = joint_topk_from_dists(
+            rows, beam_scores, valid, plain, vocab, out_k=nall)
+        sample_idx = parent_idx * vocab + res.step_next_tok[i]
+        p_sc = jnp.where(from_valid, _prob_at(p_next, sample_idx), 0.0)
+        accept = (p_sc / (res.step_chosen_q[i] + 1e-5)) > rmat[i]  # :847
+        accept = jnp.where(jnp.any(from_valid), accept, from_valid)  # :864-866
+        acc_cnt = jnp.sum(accept.astype(jnp.int32))
+        level_ok = acc_cnt >= min_num_beams
+        advance = active & level_ok
+        beam_scores = jnp.where(advance, jnp.log(p_sc + 1e-30), beam_scores)
+        valid = jnp.where(advance, accept, valid)
+        max_l = max_l + advance.astype(jnp.int32)
+        rate_sum = rate_sum + jnp.where(active, jnp.mean(accept.astype(jnp.float32)), 0.0)
+        f_dist = TopKDist(
+            jnp.where(active, p_next.idx, f_dist.idx),
+            jnp.where(active, p_next.probs, f_dist.probs),
+        )  # last active level joint
+        active = active & level_ok
+
+    all_acc = active
+    rows = _row_slice(p_nodes, (gamma - 1) * b, gamma * b)
+    last = joint_topk_from_dists(rows, beam_scores, valid, plain, vocab, out_k=nall)
+    sel = TopKDist(
+        jnp.where(all_acc, last.idx, f_dist.idx),
+        jnp.where(all_acc, last.probs, f_dist.probs),
+    )
+    p_resample = rewarp_topk(sel, scfg)  # warped (:908/:975)
+    key, kt = jax.random.split(key)
+    t = sample_k_topk(kt, p_resample, num_beams)
+    new_scores = jnp.log(_prob_at(p_resample, t) + 1e-30)[:r_slots]
     return t, max_l, all_acc, new_scores, rate_sum, key
 
 
@@ -502,13 +734,16 @@ def _beam_tree_device(
         # NOTE: draft_cache stays the PRE-draft committed cache for _commit.
         s = s._replace(target_cache=target_cache)
 
+        sparse = use_sparse(scfg)
         if mode == "v2":
-            t, max_l, all_acc, new_scores, rate_sum, key, expect_levels = _v2_walk(
+            walk = _v2_walk_sparse if sparse else _v2_walk
+            t, max_l, all_acc, new_scores, rate_sum, key, expect_levels = walk(
                 scfg, gamma, b, vocab, expect_thres, min_num_beams,
                 res, p_root, p_nodes, r_slots, key,
             )
         else:
-            t, max_l, all_acc, new_scores, rate_sum, key = _v1_walk(
+            walk = _v1_walk_sparse if sparse else _v1_walk
+            t, max_l, all_acc, new_scores, rate_sum, key = walk(
                 scfg, gamma, b, vocab, min_num_beams, res, p_root, p_nodes,
                 s, r_slots, key,
             )
@@ -553,9 +788,9 @@ def _beam_tree_device(
 def _run_tree(
     mode, bundle_d, params_d, bundle_t, params_t, prompt, max_new_tokens, *,
     gamma, width, num_beams, min_num_beams, extra_sample_cnt, expect_thres,
-    eos_token_id, temperature, top_k, top_p, key, details,
+    eos_token_id, temperature, top_k, top_p, key, details, tp_mesh=None,
 ):
-    scfg = SamplingConfig(temperature, top_k, top_p)
+    scfg = SamplingConfig(temperature, top_k, top_p, tp_mesh=tp_mesh)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)
     if p_len < 2:
@@ -605,6 +840,7 @@ def beam_speculative_generate(
     gamma: int = 4, width: int = 8, num_beams: int = 8, min_num_beams: int = 1,
     eos_token_id: int, temperature: float = 1.0, top_k: int = 0,
     top_p: float = 0.0, key=None, random_seed=None, details: bool = False,
+    tp_mesh=None,
 ):
     """beam_speculative_sampling equivalent (flattened-verification beam
     spec decode; verification computed via tree attention).
@@ -619,7 +855,8 @@ def beam_speculative_generate(
         "v1", bundle_d, params_d, bundle_t, params_t, prompt, max_new_tokens,
         gamma=gamma, width=width, num_beams=num_beams, min_num_beams=min_num_beams,
         extra_sample_cnt=-1, expect_thres=0.7, eos_token_id=eos_token_id,
-        temperature=temperature, top_k=top_k, top_p=top_p, key=key, details=details,
+        temperature=temperature, top_k=top_k, top_p=top_p, key=key,
+        details=details, tp_mesh=tp_mesh,
     )
 
 
@@ -629,6 +866,7 @@ def beam_speculative_v2_generate(
     extra_sample_cnt: int = -1, expect_thres: float = 0.7,
     eos_token_id: int, temperature: float = 1.0, top_k: int = 0,
     top_p: float = 0.0, key=None, random_seed=None, details: bool = False,
+    tp_mesh=None,
 ):
     """beam_speculative_sampling_v2 equivalent (dynamic-width tree-attention
     speculative beam decoding — the reference flagship).
@@ -645,5 +883,5 @@ def beam_speculative_v2_generate(
         gamma=gamma, width=width, num_beams=num_beams, min_num_beams=min_num_beams,
         extra_sample_cnt=extra_sample_cnt, expect_thres=expect_thres,
         eos_token_id=eos_token_id, temperature=temperature, top_k=top_k,
-        top_p=top_p, key=key, details=details,
+        top_p=top_p, key=key, details=details, tp_mesh=tp_mesh,
     )

@@ -26,7 +26,15 @@ import jax
 import jax.numpy as jnp
 
 from ..cache.kvcache import rollback
-from ..ops.sampling import SamplingConfig, norm_logits, sample
+from ..ops.sampling import (
+    SamplingConfig,
+    TopKDist,
+    dist_norm,
+    dist_prob_of,
+    dist_sample,
+    dist_take,
+    sample,
+)
 from .phases import calibrate_phase_times
 from .types import aligned_total, ModelBundle, first_eos_truncate, pad_prompt
 
@@ -78,14 +86,15 @@ def _bild_device(
         draft_cache = rollback(draft_cache, cur_len - 1)
         last_tok = jax.lax.dynamic_slice(tokens, (0, cur_len - 1), (1, 1))
         logits, draft_cache = bundle_d.forward(params_d, cfg_d, last_tok, draft_cache)
-        q = norm_logits(logits[:, 0], scfg)
+        q = dist_norm(logits[:, 0], scfg)
         key, ks = jax.random.split(key)
-        x = sample(ks, q)
+        x = dist_sample(ks, q)
         tokens = jax.lax.dynamic_update_slice(tokens, x[:, None], (0, cur_len))
         new_len = cur_len + 1  # length including the new small-model token
 
+        q_max = jnp.max(q.probs if isinstance(q, TopKDist) else q)
         need_check = jnp.logical_or(
-            jnp.max(q) < fallback_thres,
+            q_max < fallback_thres,
             (new_len - last_check - 1) >= gamma,
         )
 
@@ -97,13 +106,13 @@ def _bild_device(
             target_cache_r = rollback(target_cache, start)
             vin = jax.lax.dynamic_slice(tokens, (0, start), (1, w))
             logits, target_cache_r = bundle_t.forward(params_t, cfg_t, vin, target_cache_r)
-            p_win = norm_logits(logits[0], scfg)  # [w, V] rows predict start+1..start+w
+            p_win = dist_norm(logits[0], scfg)  # rows predict start+1..start+w
 
             # NLL test on positions i in [last_check, new_len-2]: token x[i+1]
             rows = jnp.arange(w)  # row r predicts position start+1+r
             pos_i = start + rows  # the "i" of the reference loop
             next_tok = jnp.take(tokens[0], jnp.clip(pos_i + 1, 0, tokens.shape[1] - 1))
-            p_next = p_win[rows, next_tok]
+            p_next = dist_prob_of(p_win, next_tok)
             in_range = (pos_i >= last_check) & (pos_i <= new_len - 2)
             bad = in_range & (-jnp.log(p_next + 1e-30) > rollback_thres)
             any_bad = jnp.any(bad)
@@ -112,9 +121,12 @@ def _bild_device(
             l = n - last_check  # accepted unchecked tokens
 
             # target samples next token from p at position n (:1811)
-            p_n = p_win[jnp.clip(n - start, 0, w - 1)]
+            p_n = dist_take(p_win, jnp.clip(n - start, 0, w - 1))
             key2, kt = jax.random.split(key)
-            t = sample(kt, p_n[None])
+            if isinstance(p_n, TopKDist):
+                t = dist_sample(kt, p_n)[None]
+            else:
+                t = sample(kt, p_n[None])
             tokens2 = jax.lax.dynamic_update_slice(tokens, t[:, None], (0, n + 1))
             target_cache_r = rollback(target_cache_r, n + 1)
             return tokens2, target_cache_r, key2, n + 1, n + 2, l
@@ -170,6 +182,7 @@ def bild_generate(
     key: Optional[jax.Array] = None,
     random_seed: Optional[int] = None,
     details: bool = False,
+    tp_mesh=None,
 ):
     """BiLD policy decode — reference ``BiLD_sampling`` equivalent.
 
@@ -177,7 +190,7 @@ def bild_generate(
     (speculative_sampling.py:1723); the reference never consumes it in
     BiLD (no reseed inside :1718-1872) — the policy is threshold-driven."""
     del random_seed
-    scfg = SamplingConfig(temperature, top_k, top_p)
+    scfg = SamplingConfig(temperature, top_k, top_p, tp_mesh=tp_mesh)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)
     max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + 2)

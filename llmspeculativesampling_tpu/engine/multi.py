@@ -30,7 +30,17 @@ import jax
 import jax.numpy as jnp
 
 from ..cache.kvcache import rollback, select_rows
-from ..ops.sampling import SamplingConfig, max_fn, norm_logits, sample
+from ..ops.sampling import (
+    SamplingConfig,
+    TopKDist,
+    dist_norm,
+    dist_pad_zero_rows,
+    dist_prob_of,
+    dist_residual,
+    dist_sample,
+    dist_take,
+    sample,
+)
 from .phases import fill_phase_split
 from .types import aligned_total, ModelBundle, first_eos_truncate, pad_prompt
 
@@ -85,27 +95,32 @@ def _multi_device(
         first_in = jax.lax.dynamic_slice(tokens, (0, cur_len - 2), (1, 2))
         first_in = jnp.broadcast_to(first_in, (w, 2))
         logits, draft_cache = bundle_d.forward(params_d, cfg_d, first_in, draft_cache)
-        q0 = norm_logits(logits[:, -1], scfg)  # [w, V]
+        q0 = dist_norm(logits[:, -1], scfg)  # rows [w] (dense [w,V] or sparse [w,k])
         key, k0 = jax.random.split(key)
-        x0 = sample(k0, q0)  # [w]
+        x0 = dist_sample(k0, q0)  # [w]
 
         def dstep(carry, _):
             cache, last_tok, key = carry
             logits, cache = bundle_d.forward(params_d, cfg_d, last_tok[:, None], cache)
-            q = norm_logits(logits[:, 0], scfg)
+            q = dist_norm(logits[:, 0], scfg)
             key, ks = jax.random.split(key)
-            x = sample(ks, q)
+            x = dist_sample(ks, q)
             return (cache, x, key), (q, x)
+
+        def _stack0(a, rest):
+            return jax.tree.map(
+                lambda x0, xr: jnp.concatenate([x0[None], xr], axis=0), a, rest)
 
         if gamma > 1:
             (draft_cache, _, key), (q_rest, x_rest) = jax.lax.scan(
                 dstep, (draft_cache, x0, key), None, length=gamma - 1
             )
-            q_stack = jnp.concatenate([q0[None], q_rest], axis=0)  # [gamma, w, V]
+            q_stack = _stack0(q0, q_rest)  # [gamma, w, ...]
             cand = jnp.concatenate([x0[None], x_rest], axis=0)  # [gamma, w]
         else:
-            q_stack, cand = q0[None], x0[None]
-        q_stack = q_stack.transpose(1, 0, 2)  # [w, gamma, V]
+            q_stack = jax.tree.map(lambda x: x[None], q0)
+            cand = x0[None]
+        q_stack = jax.tree.map(lambda x: x.transpose(1, 0, 2), q_stack)  # [w, gamma, ...]
         cand = cand.T  # [w, gamma]
 
         # --- verify: one batched target forward over all candidates ---
@@ -113,13 +128,12 @@ def _multi_device(
         last_committed = jax.lax.dynamic_slice(tokens, (0, cur_len - 1), (1, 1))
         vin = jnp.concatenate([jnp.broadcast_to(last_committed, (w, 1)), cand], axis=1)
         logits, target_cache = bundle_t.forward(params_t, cfg_t, vin, target_cache)
-        p_stack = norm_logits(logits, scfg)  # [w, gamma+1, V]
+        p_stack = dist_norm(logits, scfg)  # [w, gamma+1, ...]
 
         # --- accept: vectorized over width x gamma (:1612-1640) ---
-        widx = jnp.arange(w)[:, None]
-        gidx = jnp.arange(gamma)[None, :]
-        q_sel = q_stack[widx, gidx, cand]  # [w, gamma]
-        p_sel = p_stack[:, :gamma][widx, gidx, cand]
+        q_sel = dist_prob_of(q_stack, cand)  # [w, gamma]
+        p_head = jax.tree.map(lambda x: x[:, :gamma], p_stack)
+        p_sel = dist_prob_of(p_head, cand)
         ratio = jnp.minimum(p_sel / q_sel, 1.0)
         key, kr, kt = jax.random.split(key, 3)
         r = fixed_r if fixed_r is not None else jax.random.uniform(kr, (w, gamma))
@@ -134,16 +148,26 @@ def _multi_device(
         # commit winner tokens then the extra sample
         win = cand[choice]  # [gamma]
         tokens = jax.lax.dynamic_update_slice(tokens, win[None], (0, cur_len))
-        q_pad = jnp.concatenate([q_stack[choice], jnp.zeros_like(q_stack[choice][:1])], axis=0)
-        p_n = jnp.take(p_stack[choice], max_l, axis=0)
-        q_l = jnp.take(q_pad, max_l, axis=0)
-        resid = max_fn(p_n - q_l)
+        q_choice = jax.tree.map(lambda x: x[choice], q_stack)
+        p_choice = jax.tree.map(lambda x: x[choice], p_stack)
+        q_pad = dist_pad_zero_rows(q_choice, 1)
+        p_n = dist_take(p_choice, max_l)
+        q_l = dist_take(q_pad, max_l)
+        resid = dist_residual(p_n, q_l)
         # reference falls back to sampling p when the residual is degenerate
         # (:1660-1664); max_fn's eps already yields a valid distribution, and
         # sample()'s zero-prob guard resolves the degenerate case to argmax(p-q)=argmax p region.
-        resid = jnp.where(jnp.sum(resid) < 1e-6, p_n, resid)
-        t_res = sample(kt, resid[None])[0]
-        t_bonus = sample(kt, p_stack[choice, gamma][None])[0]
+        if isinstance(resid, TopKDist):
+            degenerate = jnp.sum(resid.probs) < 1e-6
+            resid = TopKDist(
+                jnp.where(degenerate, p_n.idx, resid.idx),
+                jnp.where(degenerate, p_n.probs, resid.probs))
+            t_res = dist_sample(kt, resid)
+            t_bonus = dist_sample(kt, dist_take(p_choice, gamma))
+        else:
+            resid = jnp.where(jnp.sum(resid) < 1e-6, p_n, resid)
+            t_res = sample(kt, resid[None])[0]
+            t_bonus = sample(kt, p_stack[choice, gamma][None])[0]
         t = jnp.where(all_acc, t_bonus, t_res)
         new_len = cur_len + max_l + 1
         tokens = jax.lax.dynamic_update_slice(tokens, t[None, None], (0, new_len - 1))
@@ -195,6 +219,7 @@ def multi_speculative_generate(
     key: Optional[jax.Array] = None,
     random_seed: Optional[int] = None,
     details: bool = False,
+    tp_mesh=None,
 ):
     """Multi-candidate speculative sampling. ``strategy='iid'`` here;
     'beam' delegates to the beam-draft engine; 'diverse' raises like the
@@ -211,12 +236,12 @@ def multi_speculative_generate(
             gamma=gamma, width=width, num_beams=num_beams or max(4, width),
             eos_token_id=eos_token_id, temperature=temperature,
             top_k=top_k, top_p=top_p, key=key, random_seed=random_seed,
-            details=details,
+            details=details, tp_mesh=tp_mesh,
         )
     if strategy != "iid":
         raise RuntimeError("Strategy not implemented " + strategy)
 
-    scfg = SamplingConfig(temperature, top_k, top_p)
+    scfg = SamplingConfig(temperature, top_k, top_p, tp_mesh=tp_mesh)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)
     if p_len < 2:

@@ -28,7 +28,15 @@ import jax
 import jax.numpy as jnp
 
 from ..cache.kvcache import rollback, select_rows
-from ..ops.sampling import SamplingConfig, norm_logits, sample_k
+from ..ops.sampling import (
+    SamplingConfig,
+    joint_topk_from_logp,
+    norm_logits,
+    prob_of_topk,
+    sample_k,
+    sample_k_topk,
+    use_sparse,
+)
 from .types import aligned_total, ModelBundle, pad_prompt
 
 _DEAD = -1e30
@@ -81,16 +89,24 @@ def _random_beam_device(
          best_tokens, best_score, best_len) = s
 
         token_logp = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
-        joint = token_logp + beam_scores[:, None]
-        last_p = norm_logits(joint.reshape(1, -1), scfg)[0]  # [K*V]
 
         key, kw, ks = jax.random.split(key, 3)
         k_width = jax.random.randint(kw, (), min_num_beams, max_num_beams + 1)
-        t = sample_k(ks, last_p[None], kmax)[0]  # full Gumbel ordering draw
+        if use_sparse(scfg):
+            # candidate-space joint (ops/sampling.py sparse-joint rationale):
+            # per-row top-k + merge instead of a [K*V] softmax/sort
+            d = joint_topk_from_logp(token_logp, beam_scores, scfg)
+            t = sample_k_topk(ks, d, kmax)  # full Gumbel ordering draw
+            t_prob = prob_of_topk(d, t)
+        else:
+            joint = token_logp + beam_scores[:, None]
+            last_p = norm_logits(joint.reshape(1, -1), scfg)[0]  # [K*V]
+            t = sample_k(ks, last_p[None], kmax)[0]
+            t_prob = last_p[t]
         parent = t // vocab
         token = t % vocab
         active = jnp.arange(kmax) < k_width
-        new_scores = jnp.where(active, jnp.log(last_p[t] + 1e-30), _DEAD)
+        new_scores = jnp.where(active, jnp.log(t_prob + 1e-30), _DEAD)
 
         cache = select_rows(cache, parent)
         row_tokens = row_tokens[parent]
@@ -148,9 +164,10 @@ def random_width_beam_generate(
     top_p: float = 0.0,
     key: Optional[jax.Array] = None,
     details: bool = False,
+    tp_mesh=None,
 ):
     """Target-only random-width beam sampling; returns the best candidate."""
-    scfg = SamplingConfig(temperature, top_k, top_p)
+    scfg = SamplingConfig(temperature, top_k, top_p, tp_mesh=tp_mesh)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)
     max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + 1)

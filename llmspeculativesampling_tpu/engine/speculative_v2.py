@@ -125,8 +125,9 @@ def speculative_generate_v2(
     key: Optional[jax.Array] = None,
     random_seed: Optional[int] = None,
     details: bool = False,
+    tp_mesh=None,
 ):
-    scfg = SamplingConfig(temperature, top_k, top_p)
+    scfg = SamplingConfig(temperature, top_k, top_p, tp_mesh=tp_mesh)
     key = key if key is not None else jax.random.key(0)
     prompt_padded, p_len = pad_prompt(prompt)
     max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + gamma + 1)

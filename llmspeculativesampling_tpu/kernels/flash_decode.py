@@ -74,7 +74,12 @@ def should_use(
     ok = s_new <= 32 and bt is not None and dim_ok
     if flag == "1":  # forced (tests / cfg.flash="on")
         return ok
-    # default: real TPU, and only when the cache is big enough to matter
+    # default: real TPU, and only when the cache is big enough to matter.
+    # Folded head_dims below 64 (fold factor > 2) are toy-geometry-only
+    # shapes that have produced Mosaic backend INTERNAL errors on real
+    # chips (2026-08 v5e); every real draft/target is >= 64
+    # (llama-68m / opt-125m: 64), so auto mode floors at 64.
+    ok = ok and head_dim >= 64
     return ok and jax.default_backend() == "tpu" and s_max >= 2 * bt
 
 
@@ -599,7 +604,13 @@ def should_use_paged(
     ok = s_new <= 32 and page % 128 == 0 and page <= 512 and dim_ok
     if flag == "1":
         return ok
-    return ok and jax.default_backend() == "tpu"
+    # auto mode: native lanes only. The folded (head_dim < 128) paged
+    # path wedges or INTERNAL-errors the Mosaic backend on real chips at
+    # every tested fold (d=64 and d=32, 2026-08 v5e) despite passing in
+    # isolation and in CPU interpret mode — XLA's gather fallback serves
+    # sub-128 drafts instead. Forced mode (LLMSS_FLASH=1) keeps the folded
+    # path for interpret-mode tests.
+    return ok and head_dim % 128 == 0 and jax.default_backend() == "tpu"
 
 
 def paged_flash_decode_attention(

@@ -329,6 +329,150 @@ def dense_probs(dist: TopKDist, vocab_size: int) -> jax.Array:
     return out.reshape(*lead, vocab_size)
 
 
+# --------------------------------------------------------------------------
+# Sparse JOINT (beam x vocab) distributions for the tree/beam engines.
+#
+# The tree walks operate on joint distributions over the flattened
+# [num_beams * V] axis (beam_tree.py; reference speculative_sampling.py:231,
+# :826). Dense, every level costs O(B*V) softmax/sort plus O(B^2*V) residual
+# updates in the sequential accept scan — by this repo's own measurement
+# (~1.7 ms per full-vocab op) that dwarfs the model forwards at small B.
+# With top-k warping active, every joint's support lives inside the union
+# of the per-row top-k candidates (<= B*k flat ids): these helpers build
+# joint TopKDists whose ``idx`` are FLAT ids (row * V + token), exact vs
+# the dense path for the same reasons as norm_logits_topk.
+# --------------------------------------------------------------------------
+
+
+def joint_topk_from_dists(
+    row_dists: TopKDist, row_scores: jax.Array, valid: jax.Array,
+    cfg: SamplingConfig, vocab: int, out_k: Optional[int] = None,
+) -> TopKDist:
+    """Warped joint over flat ids from per-row sparse dists.
+
+    Dense equivalent: ``norm_logits((log(cur_p) + scores).reshape(1,-1),
+    cfg)`` with invalid rows masked to -inf (beam_tree.py _v2_walk).
+    ``row_dists``: TopKDist [B, k]; ``row_scores`` [B]; ``valid`` [B] bool.
+    ``out_k``: candidates kept (default cfg.top_k; pass B*k for an
+    unfiltered softmax — the v1 walk's plain-softmax joint, reference
+    :826, whose support is already <= B*k because cur_p is warped).
+    """
+    b, k = row_dists.probs.shape
+    vals = jnp.log(row_dists.probs + 1e-30) + row_scores[:, None]
+    vals = jnp.where(valid[:, None] & (row_dists.probs > 0.0), vals, _NEG_INF)
+    flat_ids = (jnp.arange(b, dtype=jnp.int32)[:, None] * vocab
+                + row_dists.idx).reshape(-1)
+    vals = vals.reshape(-1)
+    if cfg.temperature != 1.0:
+        vals = vals / cfg.temperature
+    kk = out_k if out_k is not None else (cfg.top_k if cfg.top_k > 0 else b * k)
+    kk = min(kk, b * k)
+    top_vals, pos = jax.lax.top_k(vals, kk)
+    top_ids = flat_ids[pos]
+    probs = jax.nn.softmax(top_vals)
+    if cfg.top_p > 0.0 and out_k is None:
+        cum = jnp.cumsum(probs)
+        keep = (cum - probs) <= cfg.top_p
+        probs = jnp.where(keep, probs, 0.0)
+        probs = probs / jnp.sum(probs)
+    # fully-masked candidates (top_k padding when < kk real entries) get 0
+    probs = jnp.where(top_vals <= _NEG_INF / 2, 0.0, probs)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1e-30)
+    return TopKDist(top_ids.astype(jnp.int32), probs)
+
+
+def joint_topk_from_logp(
+    logp: jax.Array, row_scores: jax.Array, cfg: SamplingConfig,
+) -> TopKDist:
+    """Warped joint over flat ids from dense per-row log-probs [B, V]
+    (the beam draft's joint, kvcache_model.py:819-838 semantics): per-row
+    top-k then a global top-k merge — never a [B*V] sort."""
+    assert cfg.top_k > 0
+    b, v = logp.shape
+    k = min(cfg.top_k, v)
+    x = logp + row_scores[:, None]
+    if cfg.temperature != 1.0:
+        x = x / cfg.temperature
+    vals, idx = jax.lax.top_k(x, k)  # [B, k] per-row candidates
+    flat = (jnp.arange(b, dtype=jnp.int32)[:, None] * v + idx).reshape(-1)
+    top_vals, pos = jax.lax.top_k(vals.reshape(-1), k)
+    top_ids = flat[pos]
+    probs = jax.nn.softmax(top_vals)
+    if cfg.top_p > 0.0:
+        cum = jnp.cumsum(probs)
+        keep = (cum - probs) <= cfg.top_p
+        probs = jnp.where(keep, probs, 0.0)
+        probs = probs / jnp.sum(probs)
+    return TopKDist(top_ids.astype(jnp.int32), probs)
+
+
+def rewarp_topk(dist: TopKDist, cfg: SamplingConfig) -> TopKDist:
+    """Apply the full warp (temperature -> top-k -> top-p -> softmax) to a
+    distribution already restricted to candidates — the dense
+    ``norm_logits(log(p))`` over a sparse support (e.g. the v1 walk's
+    resample over the selected joint, speculative_sampling.py:908/:975)."""
+    vals = jnp.log(dist.probs + 1e-30)
+    vals = jnp.where(dist.probs > 0.0, vals, _NEG_INF)
+    if cfg.temperature != 1.0:
+        vals = vals / cfg.temperature
+    kk = min(cfg.top_k, vals.shape[-1]) if cfg.top_k > 0 else vals.shape[-1]
+    top_vals, pos = jax.lax.top_k(vals, kk)
+    ids = jnp.take_along_axis(dist.idx, pos, axis=-1)
+    probs = jax.nn.softmax(top_vals, axis=-1)
+    if cfg.top_p > 0.0:
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) <= cfg.top_p
+        probs = jnp.where(keep, probs, 0.0)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    probs = jnp.where(top_vals <= _NEG_INF / 2, 0.0, probs)
+    probs = probs / jnp.maximum(jnp.sum(probs, axis=-1, keepdims=True), 1e-30)
+    return TopKDist(ids.astype(jnp.int32), probs)
+
+
+def sample_k_topk(key: jax.Array, dist: TopKDist, n: int) -> jax.Array:
+    """n-draw without-replacement Gumbel top-k in candidate space,
+    with the over-draw argmax guard of :func:`sample_k` (reference
+    support < num_samples semantics, utils.py:214-233: over-drawn winners
+    become the argmax). Returns the drawn ids (int32 [..., n])."""
+    k = dist.probs.shape[-1]
+    if n > k:  # fewer candidates than draws: pad with zero-prob entries,
+        # which the guard below resolves to the argmax — same as dense
+        pad = [(0, 0)] * (dist.probs.ndim - 1) + [(0, n - k)]
+        dist = TopKDist(jnp.pad(dist.idx, pad), jnp.pad(dist.probs, pad))
+    logp = jnp.log(dist.probs)
+    g = jax.random.gumbel(key, dist.probs.shape, dtype=jnp.float32)
+    _, pos = jax.lax.top_k(logp + g, n)
+    chosen = jnp.take_along_axis(dist.probs, pos, axis=-1)
+    safe = jnp.argmax(dist.probs, axis=-1, keepdims=True)
+    pos = jnp.where(chosen < ZERO_PROB_EPS, safe, pos)
+    return jnp.take_along_axis(dist.idx, pos, axis=-1).astype(jnp.int32)
+
+
+def min_sum(p: TopKDist, q: TopKDist) -> jax.Array:
+    """Acceptance probability sum q*min(1, p/q) (utils.py:247-250) in
+    candidate space — only q's support matters. Keeps the dense path's
+    ``q + 1e-6`` ratio guard (acceptance_prob) for bit parity."""
+    p_at_q = jnp.sum(
+        jnp.where(q.idx[..., :, None] == p.idx[..., None, :],
+                  p.probs[..., None, :], 0.0), axis=-1)
+    ratio = p_at_q / (q.probs + MAX_FN_EPS)
+    return jnp.sum(jnp.minimum(ratio, 1.0) * q.probs, axis=-1)
+
+
+def acceptance_alphas_topk(p: TopKDist, q: TopKDist, m: int) -> jax.Array:
+    """Sparse :func:`ops.dp.acceptance_alphas`: alpha_i with p residual-
+    updated between draws; the residual never leaves p's support."""
+
+    def step(cur_probs, _):
+        cur = TopKDist(p.idx, cur_probs)
+        alpha = min_sum(cur, q)
+        nxt = residual_topk(cur, q)
+        return nxt.probs, alpha
+
+    _, alphas = jax.lax.scan(step, p.probs.astype(jnp.float32), None, length=m)
+    return alphas
+
+
 # ---- representation-agnostic dispatch: engines call these and work with
 # either dense [..., V] arrays or TopKDist sparse form, chosen at trace
 # time from the static SamplingConfig.
