@@ -162,6 +162,34 @@ def shard_serving_state(state, mesh: Mesh):
     )
 
 
+def shard_paged_state(state, mesh: Mesh):
+    """Place a ``PagedBatchState`` on the mesh: pool kv-heads over tp
+    (pools ``[L, N_blocks, H_kv, page, D]``, int8 scales drop D), block
+    tables / lengths / per-row lanes replicated. Batch rows stay
+    replicated — the shared block pool serves every row, so a dp split of
+    rows would need per-shard allocators; TP is the sharding that matters
+    for the 13B target."""
+
+    def place_pool(x):
+        if x.ndim == 5:
+            spec = P(None, None, TP_AXIS, None, None)
+        elif x.ndim == 4:
+            spec = P(None, None, TP_AXIS, None)
+        else:
+            spec = P()  # block_tables / lengths
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def replicate(x):
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return state._replace(
+        draft_cache=jax.tree.map(place_pool, state.draft_cache),
+        target_cache=jax.tree.map(place_pool, state.target_cache),
+        **{f: jax.tree.map(replicate, getattr(state, f))
+           for f in state._fields if f not in ("draft_cache", "target_cache")},
+    )
+
+
 def shard_params(params, specs, mesh: Mesh):
     """Place a param pytree on the mesh with the given PartitionSpecs.
 

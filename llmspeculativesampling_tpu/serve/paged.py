@@ -395,6 +395,7 @@ class PagedEngine:
         prefill_token_budget: int = 512,
         prefix_cache: bool = False,
         extend_chunk: int = 32,
+        mesh=None,
     ):
         self.bundle_d, self.params_d = bundle_d, params_d
         self.bundle_t, self.params_t = bundle_t, params_t
@@ -447,6 +448,20 @@ class PagedEngine:
             acc_rate_sum=jnp.zeros((b,), jnp.float32),
             acc_len_hist=jnp.zeros((b, max_new_cap), jnp.int32),
         )
+
+        # multi-chip: params megatron-sharded over tp, pool kv-heads over
+        # tp (parallel/sharding.py shard_paged_state); rows replicated
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import (
+                param_specs, shard_paged_state, shard_params,
+            )
+
+            self.params_d = shard_params(
+                params_d, param_specs(bundle_d.family, bundle_d.cfg), mesh)
+            self.params_t = shard_params(
+                params_t, param_specs(bundle_t.family, bundle_t.cfg), mesh)
+            self.state = shard_paged_state(self.state, mesh)
 
         self._next_rid = 0
         self._pending: collections.deque[Request] = collections.deque()

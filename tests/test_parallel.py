@@ -284,6 +284,42 @@ def test_sharded_continuous_batching_engine():
         np.testing.assert_array_equal(c.output_ids, ref_outs[rr])
 
 
+def test_sharded_paged_engine():
+    """PagedEngine on the mesh: params over tp, pool kv-heads over tp,
+    identical completions to the unsharded engine."""
+    from llmspeculativesampling_tpu.serve.paged import PagedEngine
+
+    cfg_t = _llama_cfg(num_layers=2)
+    cfg_d = _llama_cfg(num_layers=1)
+    pt = llama.init_params(cfg_t, jax.random.key(0))
+    pd = {
+        "embed": pt["embed"], "ln_final": pt["ln_final"], "lm_head": pt["lm_head"],
+        "layers": jax.tree.map(lambda x: x[:1], pt["layers"]),
+    }
+    bt = ModelBundle("llama", cfg_t, llama.forward)
+    bd = ModelBundle("llama", cfg_d, llama.forward)
+    kw = dict(batch_rows=2, num_blocks=16, page=32, gamma=2, eos_token_id=-1,
+              temperature=1.0, top_k=10, top_p=0.9, seed=3, prompt_bucket=16,
+              steps_per_sync=2)
+    prompts = [list(range(5, 15)), list(range(30, 42))]
+
+    ref = PagedEngine(bd, pd, bt, pt, **kw)
+    ref_rids = [ref.submit(p, 6) for p in prompts]
+    ref.run_until_idle()
+    ref_outs = [ref.result(r).output_ids for r in ref_rids]
+
+    mesh = make_mesh(dp=1, tp=8)
+    eng = PagedEngine(bd, pd, bt, pt, mesh=mesh, **kw)
+    assert eng.state.target_cache.k.sharding.spec == P(
+        None, None, TP_AXIS, None, None)
+    rids = [eng.submit(p, 6) for p in prompts]
+    eng.run_until_idle()
+    for rid, want in zip(rids, ref_outs):
+        c = eng.result(rid)
+        assert c is not None
+        np.testing.assert_array_equal(c.output_ids, want)
+
+
 def test_shard_serving_state_rejects_bad_slot_count():
     from llmspeculativesampling_tpu.serve.scheduler import ContinuousBatchingEngine
 
