@@ -10,6 +10,34 @@ mesh-sharded execution.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: first compiles of the big fused decode
+# programs cost 20-60 s each on the remote chip; caching them makes every
+# later process start warm (verified working on the axon TPU backend).
+# Opt out with LLMSS_NO_COMPILE_CACHE=1 or by setting
+# JAX_COMPILATION_CACHE_DIR yourself.
+#
+# Gated to the TPU backends: cache-write during CPU backend_compile
+# segfaults (observed on the virtual-device test mesh), and the CPU
+# compiles it would save are cheap anyway.
+_plat = _os.environ.get("JAX_PLATFORMS", "")
+if (
+    ("tpu" in _plat or "axon" in _plat)
+    and not _os.environ.get("LLMSS_NO_COMPILE_CACHE")
+    and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "llmss_tpu_xla"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
 from .engine import (  # noqa: E402
     ModelBundle,
     autoregressive_generate,

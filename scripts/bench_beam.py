@@ -45,7 +45,7 @@ def main():
     ap.add_argument("--gamma", type=int, default=4)
     ap.add_argument("--num_beams", type=int, default=4)
     ap.add_argument("--max_new", type=int, default=MAX_NEW)
-    ap.add_argument("--methods", default="ar,spec,multi,mjsd,beam,beam_v2")
+    ap.add_argument("--methods", default="ar,spec,multi,mjsd,beam,beam_v2,rbeam")
     args = ap.parse_args()
 
     from llmspeculativesampling_tpu.core.synthetic import (
@@ -57,6 +57,7 @@ def main():
         beam_speculative_generate, beam_speculative_v2_generate,
     )
     from llmspeculativesampling_tpu.engine.multi import multi_speculative_generate
+    from llmspeculativesampling_tpu.engine.random_beam import random_width_beam_generate
     from llmspeculativesampling_tpu.engine.speculative import speculative_generate
 
     if args.thirteen_b:
@@ -89,6 +90,12 @@ def main():
         "beam_v2": lambda: beam_speculative_v2_generate(
             bd, pd, bt, pt, prompt, args.max_new, gamma=g, num_beams=b,
             extra_sample_cnt=1, expect_thres=0.7, key=key, **kw),
+        # target-only beam baseline: the quality class the beam/beam_v2
+        # engines compete with (they emit beam-search-quality output; the
+        # fair speed comparison is this, not plain spec)
+        "rbeam": lambda: random_width_beam_generate(
+            bt, pt, prompt, args.max_new, max_num_beams=b, min_num_beams=b,
+            key=key, **kw),
     }
 
     results = {}

@@ -23,3 +23,18 @@ jax.config.update("jax_enable_x64", False)
 # CPU XLA's default matmul precision is bf16-like (~1e-3 error) which breaks
 # golden-logit parity tests; force full fp32 accumulation under test.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles several hundred XLA:CPU programs in one
+    process; past ~70 accumulated programs the CPU backend segfaults
+    inside backend_compile (deterministic at the same test, passes in
+    isolation or with any half of the suite). Releasing executables at
+    module boundaries keeps the live-program count bounded."""
+    yield
+    jax.clear_caches()
