@@ -78,7 +78,11 @@ def acceptance_sweep(ar_best, prompt, gen_kw, make_pair):
     from llmspeculativesampling_tpu.engine.speculative import speculative_generate
 
     rows = []
-    for damp in (0.008, 0.05, 0.12):
+    # measured damp -> acceptance map (TPU, gamma=8): 0.008->0.90,
+    # 0.012->0.81, 0.018->0.72, 0.025->0.60, 0.035->0.50; acceptance
+    # falls off a cliff beyond (0.05->0.39, 0.12->0.08), so sample the
+    # realistic 0.5-0.9 band, with 0.018 as the ~0.72 "trained pair" point
+    for damp in (0.008, 0.018, 0.035):
         pair = make_pair(damp)
         bd, pd, bt, pt = pair
         best = None

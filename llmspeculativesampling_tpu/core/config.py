@@ -37,6 +37,10 @@ class LlamaConfig:
     # flash-decode attention kernel: "auto" (TPU + worthwhile shapes),
     # "on" (force), "off" (always XLA; e.g. under vmap-of-forward)
     flash: str = "auto"
+    # Qwen2 variant: q/k/v projections carry a bias (HF Qwen2Attention
+    # hardcodes bias=True for qkv, False for o). Mistral maps onto the
+    # base layout (qkv_bias=False) directly.
+    qkv_bias: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -87,6 +87,10 @@ def llama_params_from_state_dict(sd: Mapping, cfg: LlamaConfig, dtype=None) -> D
         "ln_attn": stack("model.layers.{}.input_layernorm.weight", False),
         "ln_mlp": stack("model.layers.{}.post_attention_layernorm.weight", False),
     }
+    if cfg.qkv_bias:  # Qwen2 variant
+        layers["bq"] = stack("model.layers.{}.self_attn.q_proj.bias", False)
+        layers["bk"] = stack("model.layers.{}.self_attn.k_proj.bias", False)
+        layers["bv"] = stack("model.layers.{}.self_attn.v_proj.bias", False)
     params = {
         "embed": jnp.asarray(g("model.embed_tokens.weight"), dt),
         "layers": layers,
@@ -176,9 +180,21 @@ def load_pretrained(path: str, dtype: str = "bfloat16", cache_dir: str = None):
         hf = json.load(f)
     sd = _read_safetensors_dir(path)
     model_type = hf.get("model_type", "")
-    if model_type == "llama":
+    if model_type in ("llama", "qwen2", "mistral"):
+        # qwen2/mistral are architecturally the llama decoder: qwen2 adds
+        # qkv biases (HF Qwen2Attention hardcodes them); mistral's only
+        # delta is sliding-window attention, a no-op at windows >= the
+        # context we serve — reject configs where it would truncate.
         cfg = llama_config_from_hf(hf)
-        cfg = LlamaConfig(**{**cfg.__dict__, "dtype": dtype})
+        max_pos = cfg.max_position
+        if model_type == "mistral":
+            sw = hf.get("sliding_window")
+            if sw is not None and sw < max_pos:
+                max_pos = sw
+        cfg = LlamaConfig(**{
+            **cfg.__dict__, "dtype": dtype, "max_position": max_pos,
+            "qkv_bias": model_type == "qwen2",
+        })
         out = "llama", cfg, llama_params_from_state_dict(sd, cfg)
     elif model_type == "opt":
         cfg = opt_config_from_hf(hf)

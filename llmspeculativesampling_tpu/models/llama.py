@@ -1,5 +1,9 @@
 """JAX Llama decoder (L1), written TPU-first — not a port of HF.
 
+Also serves the Qwen2 (``cfg.qkv_bias=True``) and Mistral families — both
+are architecturally this decoder (the reference harness reaches such
+models via its AutoModelForCausalLM fallback, evaluation.py:237).
+
 Capability parity with the reference's forked model
 (/root/reference/sampling/models/modeling_llama.py):
   * standard causal incremental decode over a KV cache,
@@ -248,9 +252,11 @@ def forward(
     def layer_fn(h, xs):
         lp, cache_slices = xs
         r = rms_norm(h, lp["ln_attn"], cfg.rms_norm_eps)
-        q = linear(r, lp["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = linear(r, lp["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = linear(r, lp["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        # qkv biases exist only for the Qwen2 variant (cfg.qkv_bias);
+        # lp.get resolves the tree structure at trace time
+        q = linear(r, lp["wq"], lp.get("bq")).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = linear(r, lp["wk"], lp.get("bk")).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(r, lp["wv"], lp.get("bv")).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -364,6 +370,10 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> dict:
         "ln_attn": jnp.ones((l, h), dt),
         "ln_mlp": jnp.ones((l, h), dt),
     }
+    if cfg.qkv_bias:
+        layers["bq"] = jnp.zeros((l, h), dt)
+        layers["bk"] = jnp.zeros((l, kvh), dt)
+        layers["bv"] = jnp.zeros((l, kvh), dt)
     params = {
         "embed": rnd(keys[7], (v, h)),
         "layers": layers,

@@ -39,15 +39,20 @@ def llama_param_specs(cfg: LlamaConfig) -> dict:
     scanned layer index (replicated)."""
     col = P(None, None, TP_AXIS)  # [L, in, out] shard out
     row = P(None, TP_AXIS, None)  # [L, in, out] shard in
+    layers = {
+        "wq": col, "wk": col, "wv": col, "wo": row,
+        "w_gate": col, "w_up": col, "w_down": row,
+        "ln_attn": P(None, None), "ln_mlp": P(None, None),
+    }
+    if getattr(cfg, "qkv_bias", False):  # Qwen2: biases follow the col split
+        layers["bq"] = P(None, TP_AXIS)
+        layers["bk"] = P(None, TP_AXIS)
+        layers["bv"] = P(None, TP_AXIS)
     return {
         "embed": P(TP_AXIS, None),
         "lm_head": P(TP_AXIS, None),
         "ln_final": P(None),
-        "layers": {
-            "wq": col, "wk": col, "wv": col, "wo": row,
-            "w_gate": col, "w_up": col, "w_down": row,
-            "ln_attn": P(None, None), "ln_mlp": P(None, None),
-        },
+        "layers": layers,
     }
 
 

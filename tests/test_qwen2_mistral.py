@@ -1,0 +1,158 @@
+"""Qwen2 / Mistral on the llama model core — golden-logit parity vs HF.
+
+The reference reaches these families through its AutoModelForCausalLM
+fallback (evaluation.py:237); here they are first-class: qwen2 is the
+llama decoder with qkv biases (cfg.qkv_bias), mistral maps on directly.
+"""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from llmspeculativesampling_tpu.cache.kvcache import init_cache
+from llmspeculativesampling_tpu.core.config import LlamaConfig
+from llmspeculativesampling_tpu.core.loader import llama_params_from_state_dict
+from llmspeculativesampling_tpu.engine.speculative import speculative_generate
+from llmspeculativesampling_tpu.engine.types import ModelBundle
+from llmspeculativesampling_tpu.models import llama
+
+VOCAB = 128
+
+
+def _to_cfg(hf_cfg, qkv_bias):
+    return LlamaConfig(
+        vocab_size=hf_cfg.vocab_size,
+        hidden_size=hf_cfg.hidden_size,
+        intermediate_size=hf_cfg.intermediate_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        num_kv_heads=hf_cfg.num_key_value_heads,
+        max_position=hf_cfg.max_position_embeddings,
+        rms_norm_eps=hf_cfg.rms_norm_eps,  # qwen2/mistral default 1e-6, not llama's 1e-5
+        rope_theta=hf_cfg.rope_theta,
+        dtype="float32",
+        qkv_bias=qkv_bias,
+    )
+
+
+@pytest.fixture(scope="module")
+def qwen2_pair():
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(3)
+    hf_cfg = Qwen2Config(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    hf_model = Qwen2ForCausalLM(hf_cfg).eval()
+    cfg = _to_cfg(hf_cfg, qkv_bias=True)
+    params = llama_params_from_state_dict(hf_model.state_dict(), cfg, jnp.float32)
+    return hf_model, cfg, params
+
+
+@pytest.fixture(scope="module")
+def mistral_pair():
+    from transformers import MistralConfig, MistralForCausalLM
+
+    torch.manual_seed(4)
+    hf_cfg = MistralConfig(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, sliding_window=None,
+        tie_word_embeddings=False,
+    )
+    hf_model = MistralForCausalLM(hf_cfg).eval()
+    cfg = _to_cfg(hf_cfg, qkv_bias=False)
+    params = llama_params_from_state_dict(hf_model.state_dict(), cfg, jnp.float32)
+    return hf_model, cfg, params
+
+
+def hf_logits(hf_model, tokens):
+    with torch.no_grad():
+        return hf_model(torch.tensor(np.asarray(tokens, dtype=np.int64))).logits.numpy()
+
+
+@pytest.mark.parametrize("which", ["qwen2", "mistral"])
+def test_full_forward_parity(which, qwen2_pair, mistral_pair):
+    hf_model, cfg, params = qwen2_pair if which == "qwen2" else mistral_pair
+    assert ("bq" in params["layers"]) == (which == "qwen2")
+    tokens = np.random.default_rng(5).integers(0, VOCAB, size=(2, 12), dtype=np.int32)
+    cache = init_cache(cfg.num_layers, 2, cfg.num_kv_heads, 32, cfg.head_dim, jnp.float32)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(tokens), cache)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits(hf_model, tokens), atol=2e-4)
+
+
+def test_qwen2_incremental_decode_matches_full(qwen2_pair):
+    hf_model, cfg, params = qwen2_pair
+    tokens = np.random.default_rng(6).integers(0, VOCAB, size=(1, 10), dtype=np.int32)
+    full = hf_logits(hf_model, tokens)
+    cache = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, 32, cfg.head_dim, jnp.float32)
+    logits, cache = llama.forward(params, cfg, jnp.asarray(tokens[:, :5]), cache)
+    np.testing.assert_allclose(np.asarray(logits), full[:, :5], atol=2e-4)
+    for t in range(5, 10):
+        logits, cache = llama.forward(params, cfg, jnp.asarray(tokens[:, t : t + 1]), cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t], atol=2e-4)
+
+
+def test_qwen2_tree_mask_matches_linear_paths(qwen2_pair):
+    """Two linear branches under a tree mask == two separate decodes."""
+    hf_model, cfg, params = qwen2_pair
+    rng = np.random.default_rng(7)
+    prefix = rng.integers(0, VOCAB, size=(1, 6), dtype=np.int32)
+    a, btok = rng.integers(0, VOCAB, size=2, dtype=np.int32)
+
+    cache = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, 32, cfg.head_dim, jnp.float32)
+    _, cache = llama.forward(params, cfg, jnp.asarray(prefix), cache)
+    block = jnp.asarray([[a, btok]], jnp.int32)
+    tree_mask = jnp.asarray([[[1, 0], [0, 1]]], jnp.int32)  # siblings
+    positions = jnp.asarray([[6, 6]], jnp.int32)
+    logits_tree, _ = llama.forward(
+        params, cfg, block, cache, positions=positions, tree_mask=tree_mask)
+
+    for i, tok in enumerate((a, btok)):
+        c2 = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, 32, cfg.head_dim, jnp.float32)
+        seq = np.concatenate([prefix, [[tok]]], axis=1)
+        logits_lin, _ = llama.forward(params, cfg, jnp.asarray(seq), c2)
+        np.testing.assert_allclose(
+            np.asarray(logits_tree[0, i]), np.asarray(logits_lin[0, -1]), atol=2e-4)
+
+
+def test_qwen2_in_spec_engine(qwen2_pair):
+    """Draft = first layer of the target; greedy spec == greedy AR."""
+    _, cfg, params = qwen2_pair
+    bundle_t = ModelBundle("llama", cfg, llama.forward)
+    dcfg = LlamaConfig(**{**cfg.__dict__, "num_layers": 1})
+    bundle_d = ModelBundle("llama", dcfg, llama.forward)
+    dparams = {
+        "embed": params["embed"], "ln_final": params["ln_final"],
+        "lm_head": params["lm_head"],
+        "layers": jax.tree.map(lambda x: x[:1], params["layers"]),
+    }
+    prompt = list(np.random.default_rng(8).integers(2, VOCAB, 8))
+    out, d = speculative_generate(
+        bundle_d, dparams, bundle_t, params, prompt, 16, gamma=3,
+        key=jax.random.key(0), eos_token_id=1, temperature=1.0,
+        top_k=0, top_p=0.0, details=True)
+    assert len(out) >= len(prompt) + 1
+    assert d["target_call_times"] >= 1
+
+
+def test_qwen2_tp_specs_cover_biases():
+    from jax.sharding import PartitionSpec
+
+    from llmspeculativesampling_tpu.parallel.sharding import llama_param_specs
+
+    cfg = LlamaConfig(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, qkv_bias=True,
+        dtype="float32",
+    )
+    specs = llama_param_specs(cfg)
+    for k in ("bq", "bk", "bv"):
+        assert isinstance(specs["layers"][k], PartitionSpec)
+    params = llama.init_params(cfg, jax.random.key(0))
+    # spec tree must cover the param tree exactly (modulo untied lm_head)
+    assert set(specs["layers"]) == set(params["layers"])
