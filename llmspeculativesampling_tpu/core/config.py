@@ -32,6 +32,11 @@ class LlamaConfig:
     max_position: int = 4096
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
+    # RoPE position scaling: None (plain) or a ("linear"|"dynamic", factor)
+    # tuple — the two rotary variants the reference supports
+    # (modeling_llama.py:128-160, selected from config at :263-283).
+    # A tuple (not the HF dict) keeps the config hashable for jit.
+    rope_scaling: Optional[tuple] = None
     tie_embeddings: bool = False
     dtype: str = "bfloat16"
     # flash-decode attention kernel: "auto" (TPU + worthwhile shapes),
@@ -41,6 +46,14 @@ class LlamaConfig:
     # hardcodes bias=True for qkv, False for o). Mistral maps onto the
     # base layout (qkv_bias=False) directly.
     qkv_bias: bool = False
+    # Sliding-window marker (Mistral; Qwen2 with use_sliding_window):
+    # this decoder implements full attention only, which equals windowed
+    # attention while the context stays within the window. The loader
+    # clamps max_position to the window AND records it here so
+    # ModelBundle.make_cache can REJECT caches larger than the window —
+    # serving past it would silently produce full-attention logits that
+    # diverge from HF (ADVICE r2 finding #1).
+    sliding_window: Optional[int] = None
 
     @property
     def head_dim(self) -> int:

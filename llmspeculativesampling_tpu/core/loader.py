@@ -34,6 +34,28 @@ def _to_numpy(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def parse_rope_scaling(rs) -> tuple | None:
+    """HF ``rope_scaling`` dict -> our ("linear"|"dynamic", factor) tuple.
+
+    Only the two variants the reference implements
+    (modeling_llama.py:128-160,263-283) are supported; anything else
+    (yarn, llama3, longrope, ...) raises instead of silently loading a
+    checkpoint whose logits would be wrong."""
+    if rs is None:
+        return None
+    kind = rs.get("rope_type", rs.get("type"))
+    if kind in (None, "default"):
+        return None
+    if kind not in ("linear", "dynamic"):
+        raise ValueError(
+            f"unsupported rope_scaling type {kind!r}: only 'linear' and "
+            "'dynamic' (NTK) are implemented (reference "
+            "modeling_llama.py:263-283); refusing to load the checkpoint "
+            "with wrong rotary embeddings"
+        )
+    return (kind, float(rs["factor"]))
+
+
 def llama_config_from_hf(hf: Mapping) -> LlamaConfig:
     return LlamaConfig(
         vocab_size=hf["vocab_size"],
@@ -45,6 +67,7 @@ def llama_config_from_hf(hf: Mapping) -> LlamaConfig:
         max_position=hf.get("max_position_embeddings", 4096),
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         rope_theta=hf.get("rope_theta", 10000.0),
+        rope_scaling=parse_rope_scaling(hf.get("rope_scaling")),
         tie_embeddings=hf.get("tie_word_embeddings", False),
     )
 
@@ -187,13 +210,17 @@ def load_pretrained(path: str, dtype: str = "bfloat16", cache_dir: str = None):
         # context we serve — reject configs where it would truncate.
         cfg = llama_config_from_hf(hf)
         max_pos = cfg.max_position
+        window = None
         if model_type == "mistral":
-            sw = hf.get("sliding_window")
-            if sw is not None and sw < max_pos:
-                max_pos = sw
+            window = hf.get("sliding_window")
+        elif model_type == "qwen2" and hf.get("use_sliding_window"):
+            window = hf.get("sliding_window")
+        if window is not None and window < max_pos:
+            max_pos = window
         cfg = LlamaConfig(**{
             **cfg.__dict__, "dtype": dtype, "max_position": max_pos,
             "qkv_bias": model_type == "qwen2",
+            "sliding_window": window,
         })
         out = "llama", cfg, llama_params_from_state_dict(sd, cfg)
     elif model_type == "opt":

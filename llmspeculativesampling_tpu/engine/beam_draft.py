@@ -35,8 +35,8 @@ from ..cache.kvcache import KVCache, rollback, select_rows
 from ..ops.sampling import (
     SamplingConfig,
     TopKDist,
-    joint_topk_from_logp,
-    norm_logits,
+    joint_rowwarp_dense,
+    joint_rowwarp_topk,
     prob_of_topk,
     sample_k,
     sample_k_topk,
@@ -122,14 +122,17 @@ def beam_draft(
         logp = jax.nn.log_softmax(logits_b.astype(jnp.float32), axis=-1)  # [B, V]
         joint = logp + beam_scores[:, None]
         key, ks = jax.random.split(key)
+        # The reference warps PER BEAM ROW before the flat softmax
+        # (kvcache_model.py:795 runs the warpers on [B, V], the
+        # view(1, B*V) only happens at :816-817), so the joint's support
+        # is the union of per-beam nuclei — not a global top-k.
         if use_sparse(joint_cfg):
-            # candidate-space joint: per-row top-k + merge, never a [B*V]
-            # sort (ops/sampling.py sparse-joint rationale)
-            q_dist = joint_topk_from_logp(logp, beam_scores, joint_cfg)
+            # candidate space: B*k entries, never a [B*V] sort
+            q_dist = joint_rowwarp_topk(logp, beam_scores, joint_cfg)
             t = sample_k_topk(ks, q_dist, b)  # [B] without replacement
             chosen_q = prob_of_topk(q_dist, t)
         else:
-            q_joint = norm_logits(joint.reshape(1, -1), joint_cfg)[0]  # [B*V]
+            q_joint = joint_rowwarp_dense(logp, beam_scores, joint_cfg)  # [B*V]
             q_dist = q_joint
             t = sample_k(ks, q_joint[None], b)[0]  # [B] without replacement
             chosen_q = q_joint[t]

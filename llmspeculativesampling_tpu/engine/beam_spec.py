@@ -74,6 +74,7 @@ def _mjsd_accept(accept_thres, p_sel, seq_q):
     static_argnames=(
         "bundle_d", "bundle_t", "gamma", "width", "num_beams", "max_new_tokens",
         "scfg", "eos_token_id", "max_total_len", "mode", "accept_thres",
+        "ref_row_compat",
     ),
 )
 def _beam_spec_device(
@@ -95,6 +96,7 @@ def _beam_spec_device(
     max_total_len: int,
     mode: str,  # "beam" | "mjsd"
     accept_thres: float,
+    ref_row_compat: bool = False,
 ):
     cfg_d, cfg_t = bundle_d.cfg, bundle_t.cfg
     nb, w = num_beams, width
@@ -126,6 +128,19 @@ def _beam_spec_device(
         draft_cache, key = res.cache, res.key
         cand, cand_scores, seq_q, perbeam_q, orig_rows = top_width(res, w)
         # cand [w, gamma]; seq_q [w, gamma]; perbeam_q [w, gamma, V]
+        if ref_row_compat:
+            # Reference bug-compat (differential-CI mode): finalize sorts
+            # the candidate sequences by joint score but hands the verify
+            # loop its q buffers in final-beam-ROW order — 'scores' rows
+            # are parent-gathered during the draft (kvcache_model.py:914)
+            # yet never re-sorted to match the finalize output
+            # (:953-1022), and 'seq_scores' rows are never parent-gathered
+            # at all (:919-922). Our default path fixes both
+            # misalignments (beam_draft.py top_width); this reproduces
+            # them so test_ref_differential.py can match the reference's
+            # acceptance profile exactly.
+            perbeam_q = res.perbeam_probs[:w]
+            seq_q = jnp.transpose(res.step_chosen_q)[:w]
 
         # ---- verify: one batched target forward over the w candidates ----
         target_cache = rollback(target_cache, cur_len - 1)
@@ -219,6 +234,7 @@ def _run(
     mode, bundle_d, params_d, bundle_t, params_t, prompt, max_new_tokens, *,
     gamma, width, num_beams, accept_thres, eos_token_id,
     temperature, top_k, top_p, key, details, random_seed=None, tp_mesh=None,
+    ref_row_compat=False,
 ):
     scfg = SamplingConfig(temperature, top_k, top_p, tp_mesh=tp_mesh)
     key = key if key is not None else jax.random.key(0)
@@ -243,7 +259,7 @@ def _run(
         bundle_d=bundle_d, bundle_t=bundle_t, gamma=gamma, width=width,
         num_beams=num_beams, max_new_tokens=max_new_tokens, scfg=scfg,
         eos_token_id=eos_token_id, max_total_len=max_total, mode=mode,
-        accept_thres=float(accept_thres),
+        accept_thres=float(accept_thres), ref_row_compat=ref_row_compat,
     )
     tokens = jax.device_get(tokens)
     wall = time.perf_counter() - t0
@@ -274,15 +290,18 @@ def multi_beam_generate(
     gamma: int = 4, width: int = 4, num_beams: Optional[int] = None,
     eos_token_id: int, temperature: float = 1.0, top_k: int = 0,
     top_p: float = 0.0, key=None, random_seed=None, details: bool = False,
-    tp_mesh=None,
+    tp_mesh=None, ref_row_compat: bool = False,
 ):
-    """multi_speculative_sampling(strategy='beam') equivalent."""
+    """multi_speculative_sampling(strategy='beam') equivalent.
+
+    ``ref_row_compat=True`` reproduces the reference's q-buffer row
+    misalignment (see _beam_spec_device) — differential-CI mode only."""
     return _run(
         "beam", bundle_d, params_d, bundle_t, params_t, prompt, max_new_tokens,
         gamma=gamma, width=width, num_beams=num_beams or max(4, width),
         accept_thres=0.0, eos_token_id=eos_token_id, temperature=temperature,
         top_k=top_k, top_p=top_p, key=key, random_seed=random_seed,
-        details=details, tp_mesh=tp_mesh,
+        details=details, tp_mesh=tp_mesh, ref_row_compat=ref_row_compat,
     )
 
 
@@ -291,7 +310,7 @@ def mjsd_generate(
     gamma: int = 4, width: int = 8, num_beams: int = 8, accept_thres: float = 0.1,
     eos_token_id: int, temperature: float = 1.0, top_k: int = 0,
     top_p: float = 0.0, key=None, random_seed=None, details: bool = False,
-    tp_mesh=None,
+    tp_mesh=None, ref_row_compat: bool = False,
 ):
     """mjsd_speculative_sampling equivalent (multi-token joint accept).
 
@@ -304,5 +323,5 @@ def mjsd_generate(
         gamma=gamma, width=width, num_beams=num_beams, accept_thres=accept_thres,
         eos_token_id=eos_token_id, temperature=temperature,
         top_k=top_k, top_p=top_p, key=key, random_seed=random_seed,
-        details=details, tp_mesh=tp_mesh,
+        details=details, tp_mesh=tp_mesh, ref_row_compat=ref_row_compat,
     )

@@ -815,15 +815,41 @@ def _run_tree(
     steps_i = int(steps)
     # flattened per-level expect counts in step order, active levels only
     # (reference expect_cnt_list, evaluation.py:889 / speculative_sampling.py:270)
-    eh = jax.device_get(expect_hist)[:steps_i].reshape(-1)
+    eh2d = jax.device_get(expect_hist)[:steps_i]  # [steps, gamma]
+    eh = eh2d.reshape(-1)
+    acc_list = jax.device_get(acc_len_hist)[:steps_i].tolist()
+    # reference num_beams_list (speculative_sampling.py:322,336 for v2;
+    # :875,891 for v1): acc_cnt per advanced level (== expect_cnt there,
+    # the :321 assert) + extra_sample_cnt (v2) / num_beams (v1) on the
+    # failing level. v2 derives exactly from the expect/acc histories;
+    # the fused v1 walk does not capture per-level acc counts, so v1
+    # reports num_beams per level (its always-accept r-1 quirk makes
+    # acc_cnt == valid-parent count; key kept for schema parity — the
+    # reference's own v1 crashes before producing details on most runs).
+    nbl = []
+    for st in range(steps_i):
+        lvl = int(acc_list[st])
+        if mode == "v2":
+            nbl += [int(x) for x in eh2d[st][:lvl]]
+            if lvl < gamma and int((eh2d[st] >= 0).sum()) > lvl:
+                nbl.append(int(r_slots))
+        else:
+            nbl += [int(num_beams)] * lvl
+            if lvl < gamma:
+                nbl.append(int(num_beams))
     d = {
         "total_time": wall,
         "accepted_count": int(accepted),
         "acc_rate": float(rate_sum) / max(int(rate_cnt), 1),
         "target_call_times": steps_i,
         "approx_call_times": steps_i,
-        "acc_len": jax.device_get(acc_len_hist)[:steps_i].tolist(),
+        "acc_len": acc_list,
         "expect_cnt_list": eh[eh >= 0].tolist() if mode == "v2" else [],
+        "num_beams_list": nbl,
+        # the dynamic-width DP runs fused inside the device program (no
+        # separate host phase to time — reference :261 measures a python
+        # loop); its cost is inside the calibrated phase split below.
+        "compute_expect_time": 0.0,
         "tokens_generated": max(len(out) - p_len, 0),
         "tokens_per_s": max(len(out) - p_len, 0) / wall if wall > 0 else float("nan"),
     }

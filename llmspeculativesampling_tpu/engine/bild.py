@@ -212,6 +212,10 @@ def bild_generate(
     checks = int(check_cnt)
     d = {
         "total_time": wall,
+        # the reference declares acc_rate for BiLD but never appends to it
+        # (speculative_sampling.py:1750,1865) so it reports np.mean([]) = NaN;
+        # keep the key for schema parity with the same value.
+        "acc_rate": float("nan"),
         "acc_len": jax.device_get(acc_len_hist)[:checks].tolist(),
         "accepted_count": int(acc_sum),
         "target_call_times": checks,

@@ -147,7 +147,7 @@ def _random_beam_device(
     improved = norm[fbest] > best_score
     best_tokens = jnp.where(improved, row_tokens[fbest], best_tokens)
     best_len = jnp.where(improved, cur_len, best_len)
-    return best_tokens, best_len
+    return best_tokens, best_len, cur_len - prompt_len
 
 
 def random_width_beam_generate(
@@ -173,7 +173,7 @@ def random_width_beam_generate(
     max_total = aligned_total(prompt_padded.shape[1] + max_new_tokens + 1)
 
     t0 = time.perf_counter()
-    tokens, out_len = _random_beam_device(
+    tokens, out_len, steps = _random_beam_device(
         params, jnp.asarray(prompt_padded), jnp.asarray(p_len, jnp.int32), key,
         bundle=bundle, max_num_beams=max_num_beams, min_num_beams=min_num_beams,
         max_new_tokens=max_new_tokens, scfg=scfg, eos_token_id=eos_token_id,
@@ -184,8 +184,27 @@ def random_width_beam_generate(
     if not details:
         return out
     n_gen = max(len(out) - p_len, 1)
+    steps_i = int(steps)
+    # target-only method: the reference harness block schema
+    # (evaluation.py:997-1105) tracks the same phase/call fields as the
+    # spec blocks with the approx side identically zero.
+    from .phases import calibrate_phase_times
+
+    _, t_fwd = calibrate_phase_times(
+        bundle, params, bundle, params, draft_rows=max_num_beams,
+        verify_rows=max_num_beams, gamma=1, verify_tokens=1,
+        max_total=max_total,
+    )
+    target = min(steps_i * t_fwd, wall) if wall > 0 else steps_i * t_fwd
     return out, {
         "total_time": wall,
         "tokens_generated": len(out) - p_len,
+        "s_per_token": wall / n_gen,
         "tokens_per_s": n_gen / wall if wall > 0 else float("nan"),
+        "target_call_times": steps_i,
+        "approx_call_times": 0,
+        "approx_time": 0.0,
+        "target_time": target,
+        "other_time": max(wall - target, 0.0),
+        "phase_split_method": "calibrated",
     }

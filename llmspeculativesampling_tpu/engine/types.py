@@ -27,6 +27,16 @@ class ModelBundle:
 
     def make_cache(self, batch: int, max_len: int):
         c = self.cfg
+        window = getattr(c, "sliding_window", None)
+        if window is not None and max_len > window:
+            # full attention == windowed attention only within the
+            # window; beyond it logits silently diverge from HF
+            # (core/config.py sliding_window note)
+            raise ValueError(
+                f"cache max_len {max_len} exceeds the model's sliding "
+                f"window {window}: this decoder implements full attention "
+                "and matches the checkpoint only within the window"
+            )
         if self.kv_quant:
             return init_quant_cache(c.num_layers, batch, c.num_kv_heads, max_len, c.head_dim)
         return init_cache(

@@ -126,12 +126,45 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (out * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope_tables(positions: jax.Array, head_dim: int, theta: float):
-    """cos/sin tables for given positions. positions: [B, S] -> [B, S, D]."""
+def rope_tables(
+    positions: jax.Array,
+    head_dim: int,
+    theta: float,
+    scaling: tuple | None = None,
+    max_position: int = 0,
+):
+    """cos/sin tables for given positions. positions: [B, S] -> [B, S, D].
+
+    ``scaling``: None or ("linear"|"dynamic", factor) — the reference's
+    two rotary-scaling variants (modeling_llama.py:128-160):
+      * linear: positions are divided by the factor before the angle
+        product (LlamaLinearScalingRotaryEmbedding, :128-146).
+      * dynamic NTK: when the current total length exceeds
+        ``max_position``, the base is rescaled to
+        theta * ((factor*len/max_pos) - (factor-1)) ** (D/(D-2))
+        (LlamaDynamicNTKScalingRotaryEmbedding, :148-160). The "current
+        total length" is max(positions)+1 — the kv length HF passes as
+        ``seq_len``; like HF incremental decoding, earlier cached k/v
+        keep the base they were written with.
+    """
+    pos = positions.astype(jnp.float32)
+    base = jnp.float32(theta)
+    if scaling is not None:
+        kind, factor = scaling
+        if kind == "linear":
+            pos = pos / jnp.float32(factor)
+        elif kind == "dynamic":
+            seq_len = jnp.max(positions).astype(jnp.float32) + 1.0
+            dyn = base * (
+                (factor * seq_len / max_position) - (factor - 1.0)
+            ) ** (head_dim / (head_dim - 2))
+            base = jnp.where(seq_len > max_position, dyn, base)
+        else:  # loader.parse_rope_scaling already rejects these
+            raise ValueError(f"unknown rope scaling kind {kind!r}")
     inv_freq = 1.0 / (
-        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+        base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
-    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [B,S,D/2]
+    angles = pos[..., None] * inv_freq  # [B,S,D/2]
     angles = jnp.concatenate([angles, angles], axis=-1)  # HF half-duplicated layout
     return jnp.cos(angles), jnp.sin(angles)
 
@@ -218,7 +251,10 @@ def forward(
         off = ln if ln.ndim == 0 else ln[:, None]
         positions = off + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
 
-    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_tables(
+        positions, cfg.head_dim, cfg.rope_theta,
+        getattr(cfg, "rope_scaling", None), cfg.max_position,
+    )
     if paged:
         use_flash = not paged_prefill and flash_decode.should_use_paged(
             s, cache.page, cfg.head_dim, cfg.flash,

@@ -16,11 +16,13 @@ static-shape KV cache, fp32 softmax/LayerNorm.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from ..cache import paged as paged_cache
 from ..cache.kvcache import (
     KVCache,
     QuantKVCache,
@@ -31,7 +33,12 @@ from ..cache.kvcache import (
 from ..core.config import OPTConfig
 from ..kernels import flash_decode
 from .linear import linear, lm_head_logits
-from .llama import attention_mask, block_bias, flash_layer_attention
+from .llama import (
+    attention_mask,
+    block_bias,
+    flash_layer_attention,
+    paged_flash_layer_attention,
+)
 
 _POS_OFFSET = 2  # OPT quirk: positional table rows 0/1 are reserved
 
@@ -51,22 +58,43 @@ def forward(
     cache: KVCache,
     positions: Optional[jax.Array] = None,
     tree_mask: Optional[jax.Array] = None,
+    paged_prefill: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
-    """Decode ``tokens`` [B, S] -> (logits [B, S, V] fp32, cache+S)."""
+    """Decode ``tokens`` [B, S] -> (logits [B, S, V] fp32, cache+S).
+
+    ``cache`` may be a contiguous :class:`KVCache`/:class:`QuantKVCache`
+    or a paged ``PagedKVCache``/``QuantPagedKVCache`` — same dispatch as
+    ``models/llama.py::forward`` (block pool, per-row block tables and
+    lengths), so the opt-125m/opt-13b reference pairing
+    (/root/reference/README.md:11) can ride the paged serving engine.
+    ``paged_prefill=True`` asserts empty rows: block-only attention with
+    one deferred all-layers pool scatter (see llama.py's rationale for
+    why the pool never mutates inside the layer scan)."""
     b, s = tokens.shape
+    paged = paged_cache.is_paged(cache)
+    s_max = cache.max_pages * cache.page if paged else cache.max_len
     dtype = cfg.jnp_dtype
     if positions is None:
-        positions = cache.length + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+        ln = jnp.asarray(cache.length, jnp.int32)
+        off = ln if ln.ndim == 0 else ln[:, None]
+        positions = off + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
 
-    use_flash = flash_decode.should_use(
-        s, cache.max_len, cfg.head_dim, cfg.flash,
-        quant=isinstance(cache, QuantKVCache),
-    )
-    if use_flash:
+    if paged:
+        use_flash = not paged_prefill and flash_decode.should_use_paged(
+            s, cache.page, cfg.head_dim, cfg.flash,
+            quant=isinstance(cache, paged_cache.QuantPagedKVCache),
+        )
+    else:
+        use_flash = flash_decode.should_use(
+            s, s_max, cfg.head_dim, cfg.flash,
+            quant=isinstance(cache, QuantKVCache),
+        )
+    defer_write = paged and (use_flash or paged_prefill)
+    if use_flash or paged_prefill:
         bias_blk = block_bias(s, tree_mask, b)
         bias = None
     else:
-        mask = attention_mask(cache.length, s, cache.max_len, tree_mask, b)
+        mask = attention_mask(cache.length, s, s_max, tree_mask, b)
         bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)[:, None]
 
     h = jnp.take(params["embed"], tokens, axis=0).astype(dtype)
@@ -86,16 +114,43 @@ def forward(
         k = linear(r, lp["wk"], lp["bk"]).reshape(b, s, n_heads, head_dim)
         v = linear(r, lp["wv"], lp["bv"]).reshape(b, s, n_heads, head_dim)
 
-        if use_flash:
+        if paged and paged_prefill:
+            # block-only causal self-attention over empty rows; pool
+            # write deferred to the post-scan scatter
+            qh = q.transpose(0, 2, 1, 3)
+            kh = k.transpose(0, 2, 1, 3)
+            vh = v.transpose(0, 2, 1, 3)
+            scores = jnp.einsum(
+                "bhsd,bhtd->bhst", qh, kh, preferred_element_type=jnp.float32
+            )
+            scores = scores * scale + bias_blk[:, None]
+            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+            ctx = jnp.einsum(
+                "bhst,bhtd->bhsd", probs, vh, preferred_element_type=jnp.float32
+            )
+            ctx = ctx.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
+        elif use_flash and paged:
+            ctx = paged_flash_layer_attention(
+                q, k, v, cache_slices, cache.block_tables, cache.lengths,
+                bias_blk, scale, dtype,
+            )
+            ctx = ctx.astype(dtype)
+        elif use_flash:
             cache_slices, ctx = flash_layer_attention(
                 q, k, v, cache_slices, cache.length, bias_blk, scale, dtype
             )
             ctx = ctx.astype(dtype)
         else:
-            cache_slices, k_all, v_all = update_and_read_layer(
-                cache_slices, cache.length,
-                k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), dtype,
-            )
+            if paged:
+                cache_slices, k_all, v_all = paged_cache.paged_update_and_read_layer(
+                    cache_slices, cache.block_tables, cache.lengths,
+                    k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), dtype,
+                )
+            else:
+                cache_slices, k_all, v_all = update_and_read_layer(
+                    cache_slices, cache.length,
+                    k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), dtype,
+                )
             qh = q.transpose(0, 2, 1, 3)
             scores = jnp.einsum("bhsd,bhtd->bhst", qh, k_all, preferred_element_type=jnp.float32)
             scores = scores * scale + bias
@@ -113,11 +168,14 @@ def forward(
         h = residual + linear(r, lp["fc2_w"], lp["fc2_b"])
         if not cfg.do_layer_norm_before:
             h = layer_norm(h, lp["ln_mlp_w"], lp["ln_mlp_b"], cfg.layer_norm_eps)
+        if defer_write:
+            return h, (k, v)
         return h, cache_slices
 
-    h, new_slices = jax.lax.scan(
-        layer_fn, h, (params["layers"], layer_scan_slices(cache))
+    slices0 = (
+        paged_cache.paged_layer_scan_slices(cache) if paged else layer_scan_slices(cache)
     )
+    h, new_slices = jax.lax.scan(layer_fn, h, (params["layers"], slices0))
 
     if "ln_final_w" in params and cfg.do_layer_norm_before:
         h = layer_norm(h, params["ln_final_w"], params["ln_final_b"], cfg.layer_norm_eps)
@@ -125,6 +183,15 @@ def forward(
         h = h @ params["project_out"]
     head = params.get("lm_head", params["embed"])
     logits = lm_head_logits(h, head)
+
+    if defer_write:
+        k_stack, v_stack = new_slices  # [L, B, S, H, D]
+        cache = paged_cache.paged_write_layers(cache, k_stack, v_stack)
+        return logits, dataclasses.replace(
+            cache, lengths=jnp.asarray(cache.lengths + s, jnp.int32)
+        )
+    if paged:
+        return logits, paged_cache.paged_rebuild(cache, new_slices, cache.lengths + s)
     return logits, rebuild(cache, new_slices, cache.length + s)
 
 

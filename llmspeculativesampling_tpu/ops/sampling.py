@@ -57,6 +57,18 @@ class SamplingConfig:
         object.__setattr__(self, "temperature", float(self.temperature))
         object.__setattr__(self, "top_k", int(self.top_k))
         object.__setattr__(self, "top_p", float(self.top_p))
+        if self.tp_mesh is not None and self.top_k <= 0:
+            # The distributed top-k (norm_logits_topk_tp) is the ONLY
+            # path that avoids a full-vocab logit all-gather per step;
+            # with top_k == 0 dist_norm would silently fall back to the
+            # dense path and GSPMD would all-gather [.., V] every step —
+            # the exact traffic tp sampling exists to avoid. Fail loudly
+            # instead of silently degrading.
+            raise ValueError(
+                "tp_mesh sampling requires top_k > 0: the dense (top_k=0) "
+                "path has no distributed implementation and would "
+                "all-gather full-vocab logits every step"
+            )
 
 
 def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
@@ -404,6 +416,50 @@ def joint_topk_from_logp(
         probs = jnp.where(keep, probs, 0.0)
         probs = probs / jnp.sum(probs)
     return TopKDist(top_ids.astype(jnp.int32), probs)
+
+
+def joint_rowwarp_dense(
+    logp: jax.Array, row_scores: jax.Array, cfg: SamplingConfig,
+) -> jax.Array:
+    """The reference ``beam_sample`` joint (kvcache_model.py:792-819):
+    top-k/top-p warp EACH ROW of ``log_softmax(logits) + prior`` (the
+    warpers run on the [B, V] tensor at :795, BEFORE the ``view(1, B*V)``
+    at :816-817), then one softmax over the flattened result.  The joint's
+    support is the union of per-beam nuclei (up to B*k candidates) — NOT
+    the global top-k that the flat ``norm_logits(view(1,-1))`` sites use
+    (random_width_beam_sampling :138, the v1 resample :908, the tree
+    walks' target joint :231).  Returns dense [B*V] probabilities.
+
+    Masks are computed from ``logp`` alone: adding a per-row constant
+    prior shifts every logit in the row equally, so both the top-k
+    threshold and the top-p nucleus are invariant to it."""
+    filt = filter_logits(logp, cfg)  # [B, V] per-row masked
+    return jax.nn.softmax((filt + row_scores[:, None]).reshape(-1))
+
+
+def joint_rowwarp_topk(
+    logp: jax.Array, row_scores: jax.Array, cfg: SamplingConfig,
+) -> TopKDist:
+    """Sparse form of :func:`joint_rowwarp_dense`: per-row top-k
+    candidates ([B, k] -> B*k flat ids), per-row nucleus mask, one softmax
+    over everything kept. Candidate-space only — never a [B*V] sort."""
+    assert cfg.top_k > 0
+    b, v = logp.shape
+    k = min(cfg.top_k, v)
+    x = logp.astype(jnp.float32)
+    if cfg.temperature != 1.0:
+        x = x / cfg.temperature
+    vals, idx = jax.lax.top_k(x, k)  # [B, k], sorted desc per row
+    if cfg.top_p > 0.0:
+        # nucleus within the row's top-k == nucleus of the filtered row
+        # (softmax over kept == softmax of the -inf-masked full row)
+        probs_row = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs_row, axis=-1)
+        keep = (cum - probs_row) <= cfg.top_p
+        vals = jnp.where(keep, vals, _NEG_INF)
+    joint = vals + row_scores[:, None]
+    flat_ids = (jnp.arange(b, dtype=jnp.int32)[:, None] * v + idx).reshape(-1)
+    return TopKDist(flat_ids, jax.nn.softmax(joint.reshape(-1)))
 
 
 def rewarp_topk(dist: TopKDist, cfg: SamplingConfig) -> TopKDist:

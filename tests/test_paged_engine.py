@@ -244,3 +244,59 @@ def test_prefix_cache_concurrent_sharing_and_recycle():
         c = eng.result(rid)
         assert c is not None and c.details["prefix_cached_tokens"] == 64
     assert eng.allocator.available_blocks == 12
+
+
+# ------------------------------------------------------------------- OPT
+
+def _make_opt_pair(kv_quant=False):
+    """The reference's second headline pairing (opt-125m draft +
+    opt-13b target, README.md:11) shaped down: PagedEngine must serve
+    the OPT family end-to-end (VERDICT round-2 ask #3)."""
+    from llmspeculativesampling_tpu.core.config import OPTConfig
+    from llmspeculativesampling_tpu.models import opt
+
+    cfg_t = OPTConfig(
+        vocab_size=128, hidden_size=64, ffn_dim=128, num_layers=2,
+        num_heads=4, max_position=2048, dtype="float32",
+    )
+    cfg_d = OPTConfig(**{**cfg_t.__dict__, "num_layers": 1})
+    pt = opt.init_params(cfg_t, jax.random.key(3))
+    pd = {
+        "embed": pt["embed"], "embed_pos": pt["embed_pos"],
+        "ln_final_w": pt["ln_final_w"], "ln_final_b": pt["ln_final_b"],
+        "layers": jax.tree.map(lambda x: x[:1], pt["layers"]),
+    }
+    bt = ModelBundle("opt", cfg_t, opt.forward, kv_quant=kv_quant)
+    bd = ModelBundle("opt", cfg_d, opt.forward)
+    return bd, pd, bt, pt
+
+
+def test_opt_paged_engine_completes():
+    bd, pd, bt, pt = _make_opt_pair()
+    eng = PagedEngine(
+        bd, pd, bt, pt, batch_rows=3, num_blocks=24, page=32,
+        max_pages_per_req=8, max_new_cap=64, gamma=3, eos_token_id=-1,
+        top_k=10, top_p=0.9, prompt_bucket=32,
+    )
+    rids = [eng.submit(list(range(5, 25)), max_new_tokens=12) for _ in range(3)]
+    eng.run_until_idle()
+    for rid in rids:
+        c = eng.result(rid)
+        assert c is not None
+        gen = len(c.output_ids) - c.prompt_len
+        assert 12 <= gen <= 12 + eng.gamma
+        assert (c.output_ids >= 0).all() and (c.output_ids < 128).all()
+        assert sum(c.details["acc_len"]) == c.details["accepted_count"]
+
+
+def test_opt_paged_engine_int8_pool():
+    bd, pd, bt, pt = _make_opt_pair(kv_quant=True)
+    eng = PagedEngine(
+        bd, pd, bt, pt, kv_quant=True, batch_rows=2, num_blocks=24, page=32,
+        max_pages_per_req=8, max_new_cap=64, gamma=3, eos_token_id=-1,
+        top_k=10, top_p=0.9, prompt_bucket=32,
+    )
+    rid = eng.submit(list(range(5, 25)), max_new_tokens=10)
+    eng.run_until_idle()
+    c = eng.result(rid)
+    assert c is not None and len(c.output_ids) - c.prompt_len >= 10

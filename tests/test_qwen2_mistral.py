@@ -76,8 +76,9 @@ def hf_logits(hf_model, tokens):
 
 
 @pytest.mark.parametrize("which", ["qwen2", "mistral"])
-def test_full_forward_parity(which, qwen2_pair, mistral_pair):
-    hf_model, cfg, params = qwen2_pair if which == "qwen2" else mistral_pair
+def test_full_forward_parity(which, request):
+    # request.getfixturevalue: build only the pair under test (ADVICE r2 #3)
+    hf_model, cfg, params = request.getfixturevalue(f"{which}_pair")
     assert ("bq" in params["layers"]) == (which == "qwen2")
     tokens = np.random.default_rng(5).integers(0, VOCAB, size=(2, 12), dtype=np.int32)
     cache = init_cache(cfg.num_layers, 2, cfg.num_kv_heads, 32, cfg.head_dim, jnp.float32)
@@ -156,3 +157,60 @@ def test_qwen2_tp_specs_cover_biases():
     params = llama.init_params(cfg, jax.random.key(0))
     # spec tree must cover the param tree exactly (modulo untied lm_head)
     assert set(specs["layers"]) == set(params["layers"])
+
+
+# ----------------------------------------------------- sliding window
+
+def windowed_mistral_pair():
+    """A Mistral whose sliding_window (16) is SMALLER than max_position:
+    the loader clamps and records the window (core/loader.py), and
+    make_cache must reject caches beyond it (ADVICE r2 finding #1)."""
+    from transformers import MistralConfig, MistralForCausalLM
+
+    torch.manual_seed(11)
+    hf_cfg = MistralConfig(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, sliding_window=16,
+        tie_word_embeddings=False,
+    )
+    hf_model = MistralForCausalLM(hf_cfg).eval()
+    cfg = _to_cfg(hf_cfg, qkv_bias=False)
+    cfg = type(cfg)(**{**cfg.__dict__, "max_position": 16, "sliding_window": 16})
+    params = llama_params_from_state_dict(hf_model.state_dict(), cfg, jnp.float32)
+    return hf_model, cfg, params
+
+
+def test_windowed_mistral_parity_within_window():
+    """Within the window, full attention == windowed attention: golden
+    parity against HF with a real (non-None) sliding_window."""
+    hf_model, cfg, params = windowed_mistral_pair()
+    tokens = np.random.default_rng(8).integers(0, VOCAB, size=(1, 12), dtype=np.int32)
+    cache = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, 16, cfg.head_dim, jnp.float32)
+    logits, _ = llama.forward(params, cfg, jnp.asarray(tokens), cache)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits(hf_model, tokens), atol=2e-4)
+
+
+def test_windowed_cache_rejected_beyond_window():
+    """make_cache(max_len > sliding_window) must raise instead of serving
+    silently-diverging full-attention logits."""
+    from llmspeculativesampling_tpu.engine.types import ModelBundle
+
+    _, cfg, _ = windowed_mistral_pair()
+    bundle = ModelBundle("llama", cfg, llama.forward)
+    with pytest.raises(ValueError, match="sliding"):
+        bundle.make_cache(1, 32)
+    bundle.make_cache(1, 16)  # at the window: fine
+
+
+def test_loader_marks_qwen2_window():
+    """Qwen2 with use_sliding_window=True gets the same clamp+marker."""
+    from llmspeculativesampling_tpu.core.loader import llama_config_from_hf
+
+    hf = {
+        "vocab_size": 64, "hidden_size": 64, "intermediate_size": 128,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "max_position_embeddings": 256,
+    }
+    cfg = llama_config_from_hf(hf)
+    assert cfg.sliding_window is None

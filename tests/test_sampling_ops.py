@@ -280,3 +280,17 @@ class TestTopKDist:
         assert padded.idx.shape[0] == 3
         row = dist_take(padded, jnp.int32(2))
         assert float(row.probs.sum()) == 0.0
+
+
+def test_tp_mesh_requires_topk():
+    """tp_mesh + top_k=0 used to silently fall back to the dense path and
+    all-gather full-vocab logits every step (the cliff the distributed
+    top-k exists to avoid); it now fails loudly (VERDICT round-2 ask #7)."""
+    import jax
+    from jax.sharding import Mesh
+    from llmspeculativesampling_tpu.ops.sampling import SamplingConfig
+
+    mesh = Mesh(np.array(jax.devices()).reshape(1, -1), ("dp", "tp"))
+    with pytest.raises(ValueError, match="top_k"):
+        SamplingConfig(1.0, 0, 0.9, tp_mesh=mesh)
+    SamplingConfig(1.0, 20, 0.9, tp_mesh=mesh)  # fine
