@@ -20,21 +20,28 @@ import os as _os
 #
 # Gated to the TPU backends: cache-write during CPU backend_compile
 # segfaults (observed on the virtual-device test mesh), and the CPU
-# compiles it would save are cheap anyway.
+# compiles it would save are cheap anyway. When JAX_PLATFORMS is unset
+# (auto-detected platform — e.g. a real TPU VM) the backend is resolved
+# once here so the cache still engages (ADVICE r2 finding #2); that
+# initializes the backend at import, which any real use pays immediately
+# anyway.
 _plat = _os.environ.get("JAX_PLATFORMS", "")
 if (
-    ("tpu" in _plat or "axon" in _plat)
-    and not _os.environ.get("LLMSS_NO_COMPILE_CACHE")
+    not _os.environ.get("LLMSS_NO_COMPILE_CACHE")
     and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")
 ):
     try:
         import jax as _jax
 
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.path.join(_os.path.expanduser("~"), ".cache", "llmss_tpu_xla"),
-        )
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _on_tpu = "tpu" in _plat or "axon" in _plat
+        if not _plat:  # auto-detect: ask the resolved backend
+            _on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        if _on_tpu:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.join(_os.path.expanduser("~"), ".cache", "llmss_tpu_xla"),
+            )
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001 — cache is best-effort
         pass
 

@@ -54,6 +54,33 @@ def initialize_cluster(
     return jax.process_index()
 
 
+def host_fetch(tree):
+    """``jax.device_get`` that also works on cross-process sharded arrays.
+
+    Single process (or fully-addressable leaves): plain ``device_get``.
+    Multi-process with dp/tp shards living on other hosts: a collective
+    ``process_allgather`` (tiled — returns the assembled GLOBAL value on
+    every host). This is a COLLECTIVE: every process must call it at the
+    same point, which the lockstep serving design guarantees
+    (serve/multihost.py — all hosts execute the same plan in the same
+    order)."""
+    leaves = jax.tree.leaves(tree)
+    if jax.process_count() == 1 or all(
+        getattr(x, "is_fully_addressable", True) for x in leaves
+    ):
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(
+        lambda x: (
+            multihost_utils.process_allgather(x, tiled=True)
+            if not getattr(x, "is_fully_addressable", True)
+            else jax.device_get(x)
+        ),
+        tree,
+    )
+
+
 def global_mesh(dp: int = 1, tp: Optional[int] = None) -> Mesh:
     """Build a ``(dp, tp)`` mesh over all global devices, TP innermost.
 
@@ -74,9 +101,18 @@ def global_mesh(dp: int = 1, tp: Optional[int] = None) -> Mesh:
             f"tp={tp} must divide the {per_host} chips of one host so TP "
             "collectives ride ICI, not DCN"
         )
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(max(dp // jax.process_count(), 1), tp),
-            dcn_mesh_shape=(min(dp, jax.process_count()), 1),
-        )
+        try:
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(max(dp // jax.process_count(), 1), tp),
+                dcn_mesh_shape=(min(dp, jax.process_count()), 1),
+            )
+        except ValueError:
+            # virtual CPU backends report one slice for every process, so
+            # the hybrid builder can't see the DCN granularity; order by
+            # process explicitly — each process's local devices become tp
+            # rows, dp spans processes — the same layout the hybrid mesh
+            # produces on real slices.
+            devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+            devices = np.asarray(devs).reshape(dp, tp)
         return Mesh(devices, (DP_AXIS, TP_AXIS))
     return Mesh(np.asarray(jax.devices()).reshape(dp, tp), (DP_AXIS, TP_AXIS))

