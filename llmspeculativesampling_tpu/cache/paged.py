@@ -163,6 +163,23 @@ def _dest_indices(block_tables, lengths, s_new: int, page: int):
     return blk, pos % page
 
 
+def pad_head_dim(rows: jax.Array, pool_d: int) -> jax.Array:
+    """Zero-pad the trailing head_dim of fresh k/v rows up to the pool's
+    (possibly wider) head dim.
+
+    The pool may be allocated WIDER than the model's head_dim (the
+    pad-to-128 lane rescue, kernels/flash_decode.py should_use_paged
+    note): a D=64 draft pool padded to D=128 rides the native flash lane
+    instead of the materializing XLA gather. Zero lanes are exact:
+    q·k over the pad contributes 0 and v's pad writes 0s that the model
+    slices back off."""
+    d = rows.shape[-1]
+    if d == pool_d:
+        return rows
+    pad = [(0, 0)] * (rows.ndim - 1) + [(0, pool_d - d)]
+    return jnp.pad(rows, pad)
+
+
 def paged_update_and_read_layer(
     slices: Tuple[jax.Array, ...],
     block_tables: jax.Array,
@@ -199,10 +216,12 @@ def paged_update_and_read_layer(
 
     kt = k_new.transpose(0, 2, 1, 3)  # [B, S, H, D]
     vt = v_new.transpose(0, 2, 1, 3)
+    pool_d = slices[0].shape[-1]
     if len(slices) == 4:
         k_q, k_s, v_q, v_s = slices
-        kq, ks = _quantize_kv(kt)
+        kq, ks = _quantize_kv(kt)  # scales over the REAL D, pad after
         vq, vs = _quantize_kv(vt)
+        kq, vq = pad_head_dim(kq, pool_d), pad_head_dim(vq, pool_d)
         k_q = scatter(k_q, kq)
         v_q = scatter(v_q, vq)
         k_s = k_s.at[blk3, h_idx, off3].set(ks, mode="drop")
@@ -214,8 +233,8 @@ def paged_update_and_read_layer(
         v_all = _gather_view_quant(v_q, v_s, block_tables, dtype)
         return new_slices, k_all, v_all
     k_pool, v_pool = slices
-    k_pool = scatter(k_pool, kt)
-    v_pool = scatter(v_pool, vt)
+    k_pool = scatter(k_pool, pad_head_dim(kt, pool_d))
+    v_pool = scatter(v_pool, pad_head_dim(vt, pool_d))
     if not gather:
         return (k_pool, v_pool), None, None
     return (k_pool, v_pool), _gather_view(k_pool, block_tables, dtype), _gather_view(
@@ -240,6 +259,7 @@ def paged_write_layers(cache, k_stack: jax.Array, v_stack: jax.Array):
     caller advances them via :func:`paged_rebuild` / ``dataclasses.replace``).
     """
     l, b, s, hh, d = k_stack.shape
+    pool_d = (cache.k_q if isinstance(cache, QuantPagedKVCache) else cache.k).shape[-1]
     blk, off = _dest_indices(cache.block_tables, cache.lengths, s, cache.page)
     l_idx = jnp.arange(l, dtype=jnp.int32)[:, None, None, None]
     h_idx = jnp.arange(hh, dtype=jnp.int32)[None, None, None, :]
@@ -253,6 +273,7 @@ def paged_write_layers(cache, k_stack: jax.Array, v_stack: jax.Array):
     if isinstance(cache, QuantPagedKVCache):
         kq, ks = _quantize_kv(k_stack)
         vq, vs = _quantize_kv(v_stack)
+        kq, vq = pad_head_dim(kq, pool_d), pad_head_dim(vq, pool_d)
         return dataclasses.replace(
             cache,
             k_q=scat(cache.k_q, kq), v_q=scat(cache.v_q, vq),
@@ -260,7 +281,9 @@ def paged_write_layers(cache, k_stack: jax.Array, v_stack: jax.Array):
             v_s=cache.v_s.at[l_idx, blk4, h_idx, off4].set(vs, mode="drop"),
         )
     return dataclasses.replace(
-        cache, k=scat(cache.k, k_stack), v=scat(cache.v, v_stack)
+        cache,
+        k=scat(cache.k, pad_head_dim(k_stack, pool_d)),
+        v=scat(cache.v, pad_head_dim(v_stack, pool_d)),
     )
 
 

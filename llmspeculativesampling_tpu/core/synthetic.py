@@ -277,3 +277,67 @@ def synthetic_pair_int8_small_draft(
     }
 
     return ModelBundle("llama", cfg_d, mod.forward), pd, bt, pt
+
+
+def synthetic_opt_pair_int8(
+    *,
+    hidden_size: int = 5120,
+    ffn_dim: int = 20480,
+    num_layers: int = 40,
+    num_heads: int = 40,
+    vocab_size: int = 50272,
+    draft_layers: int = 2,
+    max_position: int = 2048,
+    damp: float = 0.02,
+    seed: int = 3,
+):
+    """OPT pair born int8 at opt-13b geometry — the reference's SECOND
+    headline pairing (opt-125m draft + opt-13b target, README.md:11).
+    ~13.2 GB of int8 weights on one v5e chip. Same shared-prefix
+    construction as :func:`synthetic_pair_int8`: the draft is the
+    target's first ``draft_layers`` (full hidden width — heavier per
+    draft token than a true 125m, so spec speedups here are a LOWER
+    bound for the real pairing), deeper target layers damped through
+    their output scales so acceptance lands near a trained pair's."""
+    from ..models import opt as mod
+
+    h, f, L, V = hidden_size, ffn_dim, num_layers, vocab_size
+    cfg_t = OPTConfig(
+        vocab_size=V, hidden_size=h, ffn_dim=f, num_layers=L,
+        num_heads=num_heads, max_position=max_position, dtype="bfloat16",
+    )
+    keys = jax.random.split(jax.random.key(seed), 10)
+    zeros = lambda shape: jnp.zeros(shape, jnp.bfloat16)
+    layers = {
+        "wq": _int8_weight(keys[0], k=h, n=h, n_stack=L), "bq": zeros((L, h)),
+        "wk": _int8_weight(keys[1], k=h, n=h, n_stack=L), "bk": zeros((L, h)),
+        "wv": _int8_weight(keys[2], k=h, n=h, n_stack=L), "bv": zeros((L, h)),
+        "wo": _int8_weight(keys[3], k=h, n=h, n_stack=L), "bo": zeros((L, h)),
+        "fc1_w": _int8_weight(keys[4], k=h, n=f, n_stack=L), "fc1_b": zeros((L, f)),
+        "fc2_w": _int8_weight(keys[5], k=f, n=h, n_stack=L), "fc2_b": zeros((L, h)),
+        "ln_attn_w": jnp.ones((L, h), jnp.bfloat16), "ln_attn_b": zeros((L, h)),
+        "ln_mlp_w": jnp.ones((L, h), jnp.bfloat16), "ln_mlp_b": zeros((L, h)),
+    }
+    dampv = jnp.concatenate(
+        [jnp.ones(draft_layers), jnp.full((L - draft_layers,), damp)]
+    ).astype(jnp.float32)
+    layers["wo"] = {**layers["wo"], "s": layers["wo"]["s"] * dampv[:, None]}
+    layers["fc2_w"] = {**layers["fc2_w"], "s": layers["fc2_w"]["s"] * dampv[:, None]}
+
+    pt = {
+        "embed": jax.random.normal(keys[6], (V, h), jnp.bfloat16) * 0.02,
+        "embed_pos": jax.random.normal(
+            keys[7], (max_position + 2, h), jnp.bfloat16) * 0.02,
+        "layers": layers,
+        "ln_final_w": jnp.ones((h,), jnp.bfloat16),
+        "ln_final_b": zeros((h,)),
+    }  # lm_head tied to embed (opt-13b ties)
+    cfg_d = OPTConfig(**{**cfg_t.__dict__, "num_layers": draft_layers})
+    pd = {
+        **{k: v for k, v in pt.items() if k != "layers"},
+        "layers": jax.tree.map(lambda x: x[:draft_layers], pt["layers"]),
+    }
+    return (
+        ModelBundle("opt", cfg_d, mod.forward), pd,
+        ModelBundle("opt", cfg_t, mod.forward), pt,
+    )

@@ -63,8 +63,9 @@ DATASET_PARAMS = {
 }
 
 ALL_METHODS = (
-    "autoregressive", "speculative", "speculative_v2", "bild", "mjsd",
-    "multi", "beam", "beam_v2", "random_beam",
+    "autoregressive", "autoregressive_small", "speculative",
+    "speculative_v2", "bild", "mjsd", "multi", "beam", "beam_v2",
+    "random_beam",
 )
 
 
@@ -186,6 +187,12 @@ def _method_fn(name: str, models, args, eos: int):
         if name == "autoregressive":
             kw.update(over)
             return autoregressive_generate(bt, pt, prompt_ids, args.max_tokens, **kw)
+        if name == "autoregressive_small":
+            # small-model-only baseline (reference evaluate_chat.py:304):
+            # the DRAFT decodes alone — the floor any speculative method
+            # should beat on speed and the target-only AR run on quality
+            kw.update(over)
+            return autoregressive_generate(bd, pd, prompt_ids, args.max_tokens, **kw)
         if name == "speculative":
             kw.update(over)
             return speculative_generate(bd, pd, bt, pt, prompt_ids, args.max_tokens,

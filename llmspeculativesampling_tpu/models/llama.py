@@ -60,7 +60,8 @@ def block_bias(s_new: int, tree_mask, batch: int) -> jax.Array:
 
 
 def paged_flash_layer_attention(
-    q, k, v, cache_slices, block_tables, lengths, bias_blk, scale, dtype
+    q, k, v, cache_slices, block_tables, lengths, bias_blk, scale, dtype,
+    out_d=None,
 ):
     """One layer's attention via the paged flash kernel: DMA the prefix
     page-by-page through the block table — the gathered [B, P*page]
@@ -89,6 +90,8 @@ def paged_flash_layer_attention(
             qh, kn.astype(dtype), vn.astype(dtype), k_p, v_p,
             block_tables, lengths, bias_blk, scale=scale,
         )
+    if out_d is not None and out_d != ctx.shape[-1]:
+        ctx = ctx[..., :out_d]  # padded-pool lanes carry zeros
     return ctx.transpose(0, 2, 1, 3).reshape(b, s, -1)
 
 
@@ -256,8 +259,12 @@ def forward(
         getattr(cfg, "rope_scaling", None), cfg.max_position,
     )
     if paged:
+        # the POOL may be wider than the model head_dim (pad-to-128 lane
+        # rescue: a D<128 draft pool allocated at D=128 rides the native
+        # flash lane; cache/paged.py pad_head_dim) — gate on the pool's D
+        pool_d = (cache.k_q if hasattr(cache, "k_q") else cache.k).shape[-1]
         use_flash = not paged_prefill and flash_decode.should_use_paged(
-            s, cache.page, cfg.head_dim, cfg.flash,
+            s, cache.page, pool_d, cfg.flash,
             quant=isinstance(cache, paged_cache.QuantPagedKVCache),
         )
     else:
@@ -316,9 +323,10 @@ def forward(
             ctx = ctx.astype(dtype).reshape(b, cfg.num_heads, s, cfg.head_dim)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
         elif use_flash and paged:
+            pad = lambda x: paged_cache.pad_head_dim(x, pool_d)
             ctx = paged_flash_layer_attention(
-                q, k, v, cache_slices, cache.block_tables, cache.lengths,
-                bias_blk, scale, dtype,
+                pad(q), pad(k), pad(v), cache_slices, cache.block_tables,
+                cache.lengths, bias_blk, scale, dtype, out_d=cfg.head_dim,
             )
             ctx = ctx.astype(dtype)
         elif use_flash:
@@ -341,7 +349,11 @@ def forward(
             # GQA as a grouped einsum: q [B, H_kv, G, S, D] against the
             # shared kv head — never materializes an Hq-repeated KV in HBM
             # (the reference's repeat_kv, modeling_llama.py:225-234, does).
-            qh = q.transpose(0, 2, 1, 3).reshape(b, cfg.num_kv_heads, n_rep, s, cfg.head_dim)
+            if paged and pool_d != cfg.head_dim:
+                # padded pool: widen q (zero lanes score 0) and narrow ctx
+                q = paged_cache.pad_head_dim(q, pool_d)
+            att_d = pool_d if paged else cfg.head_dim
+            qh = q.transpose(0, 2, 1, 3).reshape(b, cfg.num_kv_heads, n_rep, s, att_d)
             scores = jnp.einsum(
                 "bhgsd,bhtd->bhgst", qh, k_all, preferred_element_type=jnp.float32
             )
@@ -350,7 +362,8 @@ def forward(
             ctx = jnp.einsum(
                 "bhgst,bhtd->bhgsd", probs, v_all, preferred_element_type=jnp.float32
             )
-            ctx = ctx.astype(dtype).reshape(b, cfg.num_heads, s, cfg.head_dim)
+            ctx = ctx.astype(dtype).reshape(b, cfg.num_heads, s, att_d)
+            ctx = ctx[..., : cfg.head_dim]  # un-pad (no-op when equal)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
         h = h + linear(ctx, lp["wo"])
 

@@ -80,8 +80,11 @@ def forward(
         positions = off + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
 
     if paged:
+        # gate on the POOL's head dim (pad-to-128 lane rescue; see
+        # models/llama.py + cache/paged.py pad_head_dim)
+        pool_d = (cache.k_q if hasattr(cache, "k_q") else cache.k).shape[-1]
         use_flash = not paged_prefill and flash_decode.should_use_paged(
-            s, cache.page, cfg.head_dim, cfg.flash,
+            s, cache.page, pool_d, cfg.flash,
             quant=isinstance(cache, paged_cache.QuantPagedKVCache),
         )
     else:
@@ -130,9 +133,10 @@ def forward(
             )
             ctx = ctx.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
         elif use_flash and paged:
+            pad = lambda x: paged_cache.pad_head_dim(x, pool_d)
             ctx = paged_flash_layer_attention(
-                q, k, v, cache_slices, cache.block_tables, cache.lengths,
-                bias_blk, scale, dtype,
+                pad(q), pad(k), pad(v), cache_slices, cache.block_tables,
+                cache.lengths, bias_blk, scale, dtype, out_d=head_dim,
             )
             ctx = ctx.astype(dtype)
         elif use_flash:
@@ -151,11 +155,14 @@ def forward(
                     cache_slices, cache.length,
                     k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), dtype,
                 )
+            if paged and pool_d != head_dim:
+                q = paged_cache.pad_head_dim(q, pool_d)  # zero lanes score 0
             qh = q.transpose(0, 2, 1, 3)
             scores = jnp.einsum("bhsd,bhtd->bhst", qh, k_all, preferred_element_type=jnp.float32)
             scores = scores * scale + bias
             probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
             ctx = jnp.einsum("bhst,bhtd->bhsd", probs, v_all, preferred_element_type=jnp.float32)
+            ctx = ctx[..., :head_dim]  # un-pad (no-op when equal)
             ctx = ctx.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
         h = residual + linear(ctx, lp["wo"], lp["bo"])
         if not cfg.do_layer_norm_before:

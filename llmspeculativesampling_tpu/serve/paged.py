@@ -506,6 +506,7 @@ class PagedEngine:
         prefix_cache: bool = False,
         extend_chunk: int = 32,
         mesh=None,
+        pool_pad_128=None,
     ):
         self.bundle_d, self.params_d = bundle_d, params_d
         self.bundle_t, self.params_t = bundle_t, params_t
@@ -564,16 +565,36 @@ class PagedEngine:
         b = batch_rows
         key = jax.random.key(seed)
         self._admit_key, step_key = jax.random.split(key)
+        # pad-to-128 lane rescue (VERDICT r2 ask #6): a sub-128 head_dim
+        # pool (e.g. the llama-68m / opt-125m DRAFT at D=64) allocated at
+        # D=128 rides the NATIVE paged flash lane instead of the
+        # materializing XLA gather fallback (the folded sub-128 lane
+        # wedges Mosaic on real chips — kernels/flash_decode.py
+        # should_use_paged). Cost: 2x that model's pool bytes — trivial
+        # for draft pools. Auto: on real TPU whenever flash isn't off.
+        if pool_pad_128 is None:
+            pool_pad_128 = (
+                jax.default_backend() == "tpu"
+                and cfg_d.flash != "off" and cfg_t.flash != "off"
+            )
+        self.pool_pad_128 = bool(pool_pad_128)
+
+        def pool_d(cfg):
+            d = cfg.head_dim
+            if self.pool_pad_128 and d < 128 and 128 % d == 0:
+                return 128
+            return d
+
         self.state = PagedBatchState(
             tokens=jnp.zeros((b, self.t_max), jnp.int32),
             cur_len=jnp.full((b,), 2, jnp.int32),
             draft_cache=init_paged_cache(
                 cfg_d.num_layers, num_blocks, cfg_d.num_kv_heads, page,
-                cfg_d.head_dim, b, max_pages, cfg_d.jnp_dtype, quant=kv_quant,
+                pool_d(cfg_d), b, max_pages, cfg_d.jnp_dtype, quant=kv_quant,
             ),
             target_cache=init_paged_cache(
                 cfg_t.num_layers, num_blocks, cfg_t.num_kv_heads, page,
-                cfg_t.head_dim, b, max_pages, cfg_t.jnp_dtype, quant=kv_quant,
+                pool_d(cfg_t), b, max_pages, cfg_t.jnp_dtype, quant=kv_quant,
             ),
             key=jax.random.split(step_key, b),
             active=jnp.zeros((b,), bool),

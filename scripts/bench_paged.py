@@ -85,6 +85,9 @@ def main():
     ap.add_argument("--steps_per_sync", type=int, default=4)
     ap.add_argument("--kv_int8", action="store_true")
     ap.add_argument("--flash", choices=["auto", "on", "off"], default="auto")
+    ap.add_argument("--pool_pad", choices=["auto", "on", "off"], default="auto",
+                    help="pad sub-128 head_dim pools to 128 so the draft "
+                         "rides the native flash lane (VERDICT r2 #6)")
     ap.add_argument("--slotted_slots", type=int, default=0,
                     help="override the equal-budget slot count (e.g. when "
                          "the slotted engine OOMs at parity budget — "
@@ -191,12 +194,16 @@ def main():
 
     results = {}
     if not args.skip_paged:
+        pool_pad = {"auto": None, "on": True, "off": False}[args.pool_pad]
         paged = PagedEngine(
             bd, pd, bt, pt, batch_rows=args.batch_rows, num_blocks=num_blocks,
             page=args.page, max_pages_per_req=max_pages,
             max_new_cap=max(mn for _, mn in reqs), prompt_bucket=64,
-            kv_quant=args.kv_int8, prefix_cache=args.prefix_cache, **eng_kw,
+            kv_quant=args.kv_int8, prefix_cache=args.prefix_cache,
+            pool_pad_128=pool_pad, **eng_kw,
         )
+        print(f"paged pools: draft D={paged.state.draft_cache.k.shape[-1] if hasattr(paged.state.draft_cache, 'k') else paged.state.draft_cache.k_q.shape[-1]}, "
+              f"target D={paged.state.target_cache.k.shape[-1] if hasattr(paged.state.target_cache, 'k') else paged.state.target_cache.k_q.shape[-1]}", flush=True)
         paged.warmup(prompt_lens=sorted({pl for pl, _ in reqs}))
         r = _run(paged, reqs, prompts)
         results["paged"] = r

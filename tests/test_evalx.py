@@ -183,3 +183,28 @@ def test_harness_end_to_end(tmp_path):
     assert sp["acc_rate"] is not None and 0 <= sp["acc_rate"] <= 1
     assert sp["mean_acc_len"] is not None
     assert log.exists() and "speculative" in log.read_text()
+
+
+def test_harness_small_model_baseline(tmp_path):
+    """autoregressive_small: the draft decodes alone (reference
+    evaluate_chat.py:304 small-model-only baseline block)."""
+    from llmspeculativesampling_tpu.evalx.harness import build_parser, evaluate
+
+    log = tmp_path / "run.log"
+    args = build_parser().parse_args([
+        "--dataset", "synthetic", "--methods", "autoregressive_small",
+        "--num_prompts", "2", "--max_tokens", "8", "--log_file", str(log),
+    ])
+    import llmspeculativesampling_tpu.evalx.harness as H
+    from llmspeculativesampling_tpu.core.synthetic import synthetic_pair
+
+    orig = H.synthetic_pair
+    H.synthetic_pair = lambda fam, dtype: synthetic_pair(
+        fam, hidden_size=64, num_layers=4, draft_layers=2, num_heads=4,
+        vocab_size=256, max_position=512, dtype="float32")
+    try:
+        results = evaluate(args)
+    finally:
+        H.synthetic_pair = orig
+    (r,) = results
+    assert r["method"] == "autoregressive_small" and r["total_tokens"] == 16
