@@ -196,15 +196,26 @@ def _paged_chunk_body(
     bundle_d, bundle_t, gamma: int, scfg: SamplingConfig, eos_token_id: int,
     n_steps: int,
 ):
-    """n_steps decode steps; shape-polymorphic over the rows/pool axes so
+    """Up to n_steps decode steps with device-side early exit: once every
+    active row is done, remaining steps are skipped ON DEVICE (a
+    fori_loop would burn full model forwards on finished batches —
+    measured: steps_per_sync=8 LOWERED 13B throughput 410 -> 324 tok/s
+    purely from overshoot). Shape-polymorphic over the rows/pool axes so
     the same body serves the global jit AND the per-dp-shard view inside
-    shard_map (each shard sees B/dp rows over its N/dp-block local pool)."""
-    def one(_, s):
-        return _paged_spec_step(
+    shard_map (each shard sees B/dp rows over its N/dp-block local
+    pool)."""
+    def cond(carry):
+        i, s = carry
+        live = jnp.any(s.active & jnp.logical_not(s.done))
+        return jnp.logical_and(i < n_steps, live)
+
+    def one(carry):
+        i, s = carry
+        return i + 1, _paged_spec_step(
             bundle_d, bundle_t, params_d, params_t, scfg, gamma, eos_token_id, s
         )
 
-    state = jax.lax.fori_loop(0, n_steps, one, state)
+    _, state = jax.lax.while_loop(cond, one, (jnp.zeros((), jnp.int32), state))
     return state, state.cur_len, state.done
 
 

@@ -119,10 +119,21 @@ def _batched_spec_step(
             acc_len_hist=jnp.where(keep, s2.acc_len_hist, spec.acc_len_hist),
         )
 
-    def chunk_step(_, spec):
-        return jax.vmap(one)(spec, state.active, state.target_len)
+    def cond(carry):
+        i, spec = carry
+        live = jnp.any(state.active & jnp.logical_not(spec.done))
+        return jnp.logical_and(i < n_steps, live)
 
-    spec = jax.lax.fori_loop(0, n_steps, chunk_step, state.spec)
+    def chunk_step(carry):
+        i, spec = carry
+        return i + 1, jax.vmap(one)(spec, state.active, state.target_len)
+
+    # while_loop, not fori: once every active lane is done the remaining
+    # chunk steps are skipped ON DEVICE (a fixed-depth loop burns full
+    # batched forwards on finished slots — see serve/paged.py
+    # _paged_chunk_body for the measured overshoot cost)
+    _, spec = jax.lax.while_loop(
+        cond, chunk_step, (jnp.zeros((), jnp.int32), state.spec))
     # Scheduling metadata packed into one fresh int32 array. The caller's
     # pipelined loop keeps it alive across the NEXT dispatch, which
     # donates the state — a structurally distinct array cannot alias the

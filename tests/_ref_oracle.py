@@ -175,6 +175,63 @@ def shared_models():
     return _STATE["models"]
 
 
+def make_torch_opt(num_layers: int, seed: int):
+    """A tiny reference-fork OPT (modeling_opt.py — the explicit-positions
+    patch, :109-124) with deterministic weights."""
+    reference()
+    from transformers.models.opt.configuration_opt import OPTConfig as HFCfg
+    from sampling.models.modeling_opt import OPTForCausalLM as RefOPT
+    from transformers import GenerationConfig
+    from transformers.generation import GenerationMixin
+
+    if "OracleOPT" not in _STATE:
+        class OracleOPT(RefOPT, GenerationMixin):
+            """4.35-era fork + 4.57 generation helpers mixed back in."""
+
+        _STATE["OracleOPT"] = OracleOPT
+
+    torch.manual_seed(seed)
+    cfg = HFCfg(
+        vocab_size=VOCAB, hidden_size=HIDDEN, ffn_dim=2 * HIDDEN,
+        num_hidden_layers=num_layers, num_attention_heads=HEADS,
+        max_position_embeddings=128, word_embed_proj_dim=HIDDEN,
+        do_layer_norm_before=True,
+    )
+    model = _STATE["OracleOPT"](cfg).eval()
+    model.generation_config = GenerationConfig(do_sample=True)
+    return model
+
+
+def opt_to_jax(torch_model, num_layers: int):
+    from llmspeculativesampling_tpu.core.config import OPTConfig
+    from llmspeculativesampling_tpu.core.loader import opt_params_from_state_dict
+    from llmspeculativesampling_tpu.models import opt
+
+    cfg = OPTConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, ffn_dim=2 * HIDDEN,
+        num_layers=num_layers, num_heads=HEADS, max_position=128,
+        dtype="float32",
+    )
+    params = opt_params_from_state_dict(torch_model.state_dict(), cfg, jnp.float32)
+    return ModelBundle(family="opt", cfg=cfg, forward=opt.forward), params
+
+
+def shared_opt_models():
+    """OPT-family analogue of :func:`shared_models` (perturbed-copy
+    draft); proves the OPT MODEL core inside the reference's own loops."""
+    if "opt_models" not in _STATE:
+        tt = make_torch_opt(3, seed=2)
+        td = make_torch_opt(3, seed=2)
+        gen = torch.Generator().manual_seed(13)
+        with torch.no_grad():
+            for p in td.parameters():
+                p.add_(torch.randn(p.shape, generator=gen) * 0.25 * p.std())
+        bd, pd = opt_to_jax(td, 3)
+        bt, pt = opt_to_jax(tt, 3)
+        _STATE["opt_models"] = (td, tt, bd, pd, bt, pt)
+    return _STATE["opt_models"]
+
+
 def tv_distance(samples_a, samples_b, support: int = VOCAB) -> float:
     """Total-variation distance between two empirical token histograms."""
     ha = np.bincount(np.asarray(samples_a), minlength=support).astype(np.float64)

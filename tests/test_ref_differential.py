@@ -405,3 +405,74 @@ def test_details_schema_superset(models, name):
     our_d = out[1]
     missing = set(ref_d.keys()) - set(our_d.keys())
     assert not missing, f"{name}: details keys missing vs reference: {missing}"
+
+
+# --------------------------------------------------------------------------
+# 4. OPT family: the reference's forked modeling_opt inside its own loops
+# --------------------------------------------------------------------------
+#
+# The algorithm layer is differentially proven on llama above; these runs
+# swap in the OPT model core (reference modeling_opt.py, the
+# explicit-positions patch) on both sides and re-check the lossless spec
+# properties — proving OPT model parity end-to-end, not just logit parity.
+
+@pytest.fixture(scope="module")
+def opt_models():
+    return R.shared_opt_models()
+
+
+def test_opt_logit_parity_anchor(opt_models):
+    td, tt, bd, pd, bt, pt = opt_models
+    import jax.numpy as jnp
+
+    x = R.prefix_tensor()
+    with torch.no_grad():
+        ref_logits = tt(x).logits.float().numpy()
+    cache = bt.make_cache(1, 32)
+    ours, _ = bt.forward(pt, bt.cfg, jnp.asarray(np.array(x)), cache)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=1e-2)
+
+
+def _opt_ref_spec(seed, max_len, details=False):
+    s = _sampling_mod()
+    td, tt, *_ = R.shared_opt_models()
+    torch.manual_seed(seed)
+    with contextlib.redirect_stdout(io.StringIO()):
+        return s.speculative_sampling(
+            R.prefix_tensor(), td, tt, EOS, EOS, max_len, gamma=4,
+            temperature=TEMP, top_k=TOP_K, top_p=TOP_P, details=details)
+
+
+def _opt_our_spec(seed, max_new, details=False):
+    _, _, bd, pd, bt, pt = R.shared_opt_models()
+    return L.speculative_generate(
+        bd, pd, bt, pt, PREFIX, max_new, gamma=4, eos_token_id=EOS,
+        temperature=TEMP, top_k=TOP_K, top_p=TOP_P,
+        key=jax.random.key(seed), details=details)
+
+
+def test_opt_spec_first_token_distribution(opt_models):
+    n, thresh = 192, 0.33
+    ref_toks = []
+    for seed in range(n):
+        out = _opt_ref_spec(1000 + seed, 2)
+        ref_toks.append(int(torch.as_tensor(out).reshape(-1)[P_LEN]))
+    our_toks = []
+    for seed in range(n):
+        out = _opt_our_spec(seed, 2)
+        our_toks.append(int(np.asarray(out).reshape(-1)[P_LEN]))
+    tv = tv_distance(np.array(ref_toks), np.array(our_toks))
+    assert tv < thresh, f"opt spec first-token TV {tv:.3f} >= {thresh}"
+
+
+def test_opt_spec_acceptance_profile(opt_models):
+    ref_len, ref_rate = _profile(
+        lambda s: _opt_ref_spec(2000 + s, PROFILE_LEN, details=True),
+        range(PROFILE_SEEDS))
+    our_len, our_rate = _profile(
+        lambda s: _opt_our_spec(100 + s, PROFILE_LEN, details=True),
+        range(PROFILE_SEEDS))
+    assert abs(ref_len - our_len) < 0.5, (
+        f"opt spec acc_len ref {ref_len:.3f} vs ours {our_len:.3f}")
+    assert abs(ref_rate - our_rate) < 0.15, (
+        f"opt spec acc_rate ref {ref_rate:.3f} vs ours {our_rate:.3f}")
