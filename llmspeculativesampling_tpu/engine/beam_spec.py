@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

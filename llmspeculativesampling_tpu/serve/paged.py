@@ -42,7 +42,6 @@ from ..cache.paged import (
     init_paged_cache,
     prompt_page_hashes,
     rollback_rows,
-    set_row_table,
 )
 from ..engine.speculative import accept_phase
 from ..engine.types import ModelBundle, first_eos_truncate, pad_prompt

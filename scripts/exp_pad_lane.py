@@ -32,7 +32,7 @@ from llmspeculativesampling_tpu.models import llama
 
 
 def bench(pool_d: int, rows: int = 16, page: int = 128, fill: int = 384,
-          gamma: int = 8, reps: int = 30):
+          gamma: int = 8, reps: int = 30, pages_per: int = 4):
     cfg = LlamaConfig(
         vocab_size=32000, hidden_size=768, intermediate_size=3072,
         num_layers=2, num_heads=12, num_kv_heads=12,  # llama-68m: D=64
@@ -42,7 +42,6 @@ def bench(pool_d: int, rows: int = 16, page: int = 128, fill: int = 384,
     bundle = ModelBundle("llama", cfg, llama.forward)
     params = llama.init_params(cfg, jax.random.key(0))
 
-    pages_per = 4
     alloc = PageAllocator(num_blocks=rows * pages_per, page=page,
                           max_pages=pages_per)
     cache = init_paged_cache(cfg.num_layers, rows * pages_per,
@@ -85,12 +84,14 @@ def main():
     print("device:", jax.devices()[0].device_kind, flush=True)
     from llmspeculativesampling_tpu.kernels.flash_decode import should_use_paged
 
-    for d in (64, 128):
-        lane = ("native flash" if should_use_paged(1, 128, d) else
-                "XLA gather fallback")
-        r = bench(d)
-        row = "  ".join(f"{k}: {v:.3f} ms" for k, v in r.items())
-        print(f"pool D={d:3d} ({lane:>19}): {row}", flush=True)
+    for fill, pages in ((384, 4), (1920, 16)):
+        print(f"-- pooled context {fill} positions ({pages} pages/row)")
+        for d in (64, 128):
+            lane = ("native flash" if should_use_paged(1, 128, d) else
+                    "XLA gather fallback")
+            r = bench(d, fill=fill, pages_per=pages)
+            row = "  ".join(f"{k}: {v:.3f} ms" for k, v in r.items())
+            print(f"pool D={d:3d} ({lane:>19}): {row}", flush=True)
 
 
 if __name__ == "__main__":
