@@ -30,7 +30,7 @@ def main():
     mode = sys.argv[5] if len(sys.argv) > 5 else "replicated"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
-    if mode == "sharded":
+    if mode in ("sharded", "paged_sharded"):
         os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import jax
@@ -53,11 +53,16 @@ def main():
     from llmspeculativesampling_tpu.serve.scheduler import ContinuousBatchingEngine
 
     mesh = None
-    if mode == "sharded":
+    if mode in ("sharded", "paged_sharded"):
         from llmspeculativesampling_tpu.parallel.distributed import global_mesh
 
         assert len(jax.devices()) == 4 * nprocs
         mesh = global_mesh(dp=2, tp=4)
+
+    if mode == "paged_sharded":
+        run_paged_sharded(pid, mesh, out_path)
+        return
+
     engine, prompts = build_engine(mesh=mesh)
     driver = MultiHostDriver(engine, prompt_cap=64)
     rids = []
@@ -86,6 +91,62 @@ def main():
 
 
 ROUNDS = 6
+
+
+def run_paged_sharded(pid, mesh, out_path):
+    """Cross-process dp x tp PAGED serving: each process drives the SAME
+    deterministic PagedEngine over the 2-process mesh in lockstep — the
+    dp shard_map splits rows/pool across the process boundary, and every
+    host-side read (chunk metadata, harvest lanes) is a collective
+    host_fetch both processes execute at the same point. Both hosts
+    harvest identical completions (asserted by the test), because every
+    host decision (admission order, allocator state, PRNG keys) is a
+    deterministic function of the same submissions."""
+    import json
+
+    import numpy as np
+
+    engine, prompts = build_paged_engine(mesh)
+    rids = [engine.submit(p, 6) for p in prompts]
+    engine.run_until_idle()
+    out = {"process": pid, "completions": {}}
+    for rid in rids:
+        c = engine.result(rid)
+        assert c is not None, f"rid {rid} incomplete"
+        out["completions"][str(rid)] = c.output_ids.tolist()
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    print(f"worker {pid} done", flush=True)
+
+
+def build_paged_engine(mesh=None):
+    import jax
+
+    from llmspeculativesampling_tpu.core.config import LlamaConfig
+    from llmspeculativesampling_tpu.engine.types import ModelBundle
+    from llmspeculativesampling_tpu.models import llama
+    from llmspeculativesampling_tpu.serve.paged import PagedEngine
+
+    cfg_t = LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_layers=3,
+        num_heads=8, num_kv_heads=8, max_position=128, dtype="float32")
+    cfg_d = LlamaConfig(**{**cfg_t.__dict__, "num_layers": 1})
+    pt = llama.init_params(cfg_t, jax.random.key(0))
+    pd = {
+        "embed": pt["embed"], "ln_final": pt["ln_final"],
+        "lm_head": pt["lm_head"],
+        "layers": jax.tree.map(lambda x: x[:1], pt["layers"]),
+    }
+    engine = PagedEngine(
+        ModelBundle("llama", cfg_d, llama.forward), pd,
+        ModelBundle("llama", cfg_t, llama.forward), pt,
+        batch_rows=4, num_blocks=16, page=32, max_pages_per_req=4,
+        max_new_cap=16, gamma=2, eos_token_id=-1, temperature=1.0,
+        top_k=10, top_p=0.9, seed=7, prompt_bucket=16, steps_per_sync=2,
+        mesh=mesh)
+    prompts = [list(range(5, 15)), list(range(30, 42)),
+               list(range(50, 61)), list(range(70, 79))]
+    return engine, prompts
 
 
 def build_engine(mesh=None):

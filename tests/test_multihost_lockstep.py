@@ -135,3 +135,57 @@ def test_two_process_sharded_lockstep(tmp_path):
         ref = driver.result(rid)
         assert ref is not None
         np.testing.assert_array_equal(np.asarray(got), ref.output_ids)
+
+
+def test_two_process_paged_sharded(tmp_path):
+    """Cross-process dp x tp PAGED serving: the dp shard_map splits batch
+    rows AND the block pool across the two processes (per-shard
+    allocators on each host, collective host_fetch reads); both hosts
+    harvest identical completions, which also match the single-process
+    dp=2 x tp=4 paged run."""
+    port = _free_port()
+    outs = [str(tmp_path / f"ps{i}.json") for i in range(2)]
+    env = {**os.environ,
+           "JAX_PLATFORMS": "cpu",
+           "JAX_CPU_COLLECTIVES_IMPLEMENTATION": "gloo"}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port), outs[i],
+             "paged_sharded"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            log, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(log)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"paged worker {i} failed:\n{logs[i][-4000:]}"
+
+    res = [json.load(open(o)) for o in outs]
+    assert res[0]["completions"].keys() == res[1]["completions"].keys()
+    for k in res[0]["completions"]:
+        np.testing.assert_array_equal(
+            np.asarray(res[0]["completions"][k]),
+            np.asarray(res[1]["completions"][k]))
+
+    # single-process reference on the same layout
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from multihost_worker import build_paged_engine
+    from llmspeculativesampling_tpu.parallel.distributed import global_mesh
+
+    engine, prompts = build_paged_engine(global_mesh(dp=2, tp=4))
+    rids = [engine.submit(p, 6) for p in prompts]
+    engine.run_until_idle()
+    for rid in rids:
+        ref = engine.result(rid)
+        assert ref is not None
+        np.testing.assert_array_equal(
+            np.asarray(res[0]["completions"][str(rid)]), ref.output_ids)
