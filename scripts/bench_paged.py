@@ -85,6 +85,9 @@ def main():
     ap.add_argument("--steps_per_sync", type=int, default=4)
     ap.add_argument("--kv_int8", action="store_true")
     ap.add_argument("--flash", choices=["auto", "on", "off"], default="auto")
+    ap.add_argument("--adaptive_gamma", default="",
+                    help="comma list of gamma choices, e.g. 4,8,16 — the "
+                         "engine re-picks per chunk from measured acceptance")
     ap.add_argument("--pool_pad", choices=["auto", "on", "off"], default="auto",
                     help="pad sub-128 head_dim pools to 128 so the draft "
                          "rides the native flash lane (VERDICT r2 #6)")
@@ -179,7 +182,10 @@ def main():
                                    .astype(np.int32)]) for pl, _ in reqs]
     else:
         prompts = [rng.integers(100, 31000, pl).astype(np.int32) for pl, _ in reqs]
-    worst = max(pl + mn for pl, mn in reqs) + args.gamma + 1
+    gam_sizing = args.gamma
+    if args.adaptive_gamma:
+        gam_sizing = max([args.gamma] + [int(x) for x in args.adaptive_gamma.split(",")])
+    worst = max(pl + mn for pl, mn in reqs) + gam_sizing + 1
     max_total_len = -(-worst // 128) * 128
     num_slots = args.slotted_slots or max(1, args.kv_budget // max_total_len)
     num_blocks = args.kv_budget // args.page
@@ -195,17 +201,22 @@ def main():
     results = {}
     if not args.skip_paged:
         pool_pad = {"auto": None, "on": True, "off": False}[args.pool_pad]
+        agam = (tuple(int(x) for x in args.adaptive_gamma.split(","))
+                if args.adaptive_gamma else None)
         paged = PagedEngine(
             bd, pd, bt, pt, batch_rows=args.batch_rows, num_blocks=num_blocks,
             page=args.page, max_pages_per_req=max_pages,
             max_new_cap=max(mn for _, mn in reqs), prompt_bucket=64,
             kv_quant=args.kv_int8, prefix_cache=args.prefix_cache,
-            pool_pad_128=pool_pad, **eng_kw,
+            pool_pad_128=pool_pad, adaptive_gamma=agam, **eng_kw,
         )
         print(f"paged pools: draft D={paged.state.draft_cache.k.shape[-1] if hasattr(paged.state.draft_cache, 'k') else paged.state.draft_cache.k_q.shape[-1]}, "
               f"target D={paged.state.target_cache.k.shape[-1] if hasattr(paged.state.target_cache, 'k') else paged.state.target_cache.k_q.shape[-1]}", flush=True)
         paged.warmup(prompt_lens=sorted({pl for pl, _ in reqs}))
         r = _run(paged, reqs, prompts)
+        if agam:
+            print(f"adaptive gamma settled on {paged.gamma} "
+                  f"(acc EMA {paged._acc_ema:.3f})", flush=True)
         results["paged"] = r
         pc = (f"  prefix hits={paged.allocator.hits}p"
               if args.prefix_cache else "")

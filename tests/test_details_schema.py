@@ -188,3 +188,24 @@ def test_calibrated_phase_split_vs_measured():
     assert abs(fused_share - step_share) < 0.22, (
         f"calibrated approx share {fused_share:.3f} vs measured "
         f"{step_share:.3f}: drifted past the stated error bar")
+
+
+def test_phase_calibration_handles_int8_kv_cache():
+    """calibrate_phase_times with a kv_quant bundle (QuantKVCache has k_q,
+    not k) — regression for the adaptive-gamma 13B crash."""
+    import jax
+
+    from llmspeculativesampling_tpu.core.config import LlamaConfig
+    from llmspeculativesampling_tpu.engine.phases import calibrate_phase_times
+    from llmspeculativesampling_tpu.engine.types import ModelBundle
+    from llmspeculativesampling_tpu.models import llama
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=1,
+        num_heads=4, num_kv_heads=4, max_position=256, dtype="float32")
+    p = llama.init_params(cfg, jax.random.key(0))
+    b = ModelBundle("llama", cfg, llama.forward, kv_quant=True)
+    t_d, t_v = calibrate_phase_times(
+        b, p, b, p, draft_rows=2, verify_rows=2, gamma=2, verify_tokens=3,
+        max_total=64)
+    assert t_d > 0 and t_v > 0

@@ -368,3 +368,56 @@ def test_pool_pad_128_int8():
     eng.run_until_idle()
     c = eng.result(rid)
     assert c is not None and c.details["tokens_generated"] >= 8
+
+
+def test_adaptive_gamma_completes_and_adapts():
+    """adaptive_gamma=(2, 4, 8): requests complete correctly and the
+    controller lands on a depth consistent with the measured acceptance
+    (it must at least produce a valid gamma from the choices and a
+    finite acceptance EMA after serving)."""
+    bd, pd, bt, pt = _make_pair()
+    eng = PagedEngine(
+        bd, pd, bt, pt, batch_rows=3, num_blocks=24, page=32,
+        max_pages_per_req=8, max_new_cap=64, gamma=4, eos_token_id=-1,
+        top_k=10, top_p=0.9, prompt_bucket=32, adaptive_gamma=(2, 4, 8),
+    )
+    assert eng.gamma == 4  # starts mid-choice
+    rids = [eng.submit(list(range(5, 25)), max_new_tokens=24) for _ in range(3)]
+    eng.run_until_idle()
+    for rid in rids:
+        c = eng.result(rid)
+        assert c is not None
+        assert len(c.output_ids) - c.prompt_len >= 24
+    assert eng.gamma in (2, 4, 8)
+    assert eng._acc_ema is not None and 0.0 < eng._acc_ema < 1.0
+
+
+def test_adaptive_gamma_bandit():
+    """The bandit explores every arm once, then exploits the arm with the
+    best MEASURED committed-tokens/wall, with a periodic runner-up
+    re-probe; the acceptance EMA stays a sane estimate."""
+    bd, pd, bt, pt = _make_pair()
+    eng = PagedEngine(
+        bd, pd, bt, pt, batch_rows=2, num_blocks=16, page=32,
+        max_pages_per_req=8, max_new_cap=32, gamma=4, eos_token_id=-1,
+        top_k=10, top_p=0.9, prompt_bucket=32, adaptive_gamma=(2, 4, 8),
+    )
+    # exploration: every arm must be visited twice before exploiting
+    seen = []
+    g = 4
+    for _ in range(6):
+        eng._update_gamma(acc_delta=20.0, step_delta=10.0, used_gamma=g, wall=1.0)
+        seen.append(g)
+        g = eng.gamma
+    assert all(seen.count(a) >= 2 for a in (2, 4, 8)), seen
+    # make gamma=8 measure clearly best; exploitation picks it
+    eng._arm_rate.update({2: 10.0, 4: 30.0, 8: 50.0})
+    eng._chunk_count = 1  # not a probe step
+    eng._update_gamma(acc_delta=30.0, step_delta=10.0, used_gamma=8, wall=1.0)
+    assert eng.gamma == 8
+    assert 0.0 < eng._acc_ema < 1.0
+    # periodic re-probe hits the runner-up
+    eng._arm_rate.update({2: 10.0, 4: 30.0, 8: 50.0})
+    eng._chunk_count = 7
+    eng._update_gamma(acc_delta=30.0, step_delta=10.0, used_gamma=8, wall=1.0)
+    assert eng.gamma == 4  # ranked[1]

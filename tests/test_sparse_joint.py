@@ -184,3 +184,63 @@ def test_v2_walk_sparse_matches_dense_end_to_end():
         assert (dense_final[np.asarray(t_s)] >= 0).all()
     for tok in np.asarray(t_s):
         assert 0 <= tok < b * V
+
+
+def test_rowwarp_sparse_matches_dense():
+    """joint_rowwarp_topk == joint_rowwarp_dense on the kept candidates
+    (the per-row-warp beam_sample joint, kvcache_model.py:792-819): same
+    per-row nuclei, same flat-softmax mass."""
+    import jax
+    import jax.numpy as jnp
+
+    from llmspeculativesampling_tpu.ops.sampling import (
+        SamplingConfig, joint_rowwarp_dense, joint_rowwarp_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    b, v = 4, 64
+    logp = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(b, v)) * 2.0, jnp.float32), axis=-1)
+    prior = jnp.asarray(rng.normal(size=(b,)) * 0.5, jnp.float32)
+    for cfg in (SamplingConfig(1.0, 8, 0.0), SamplingConfig(1.0, 8, 0.9),
+                SamplingConfig(1.0, 20, 0.8)):
+        dense = np.asarray(joint_rowwarp_dense(logp, prior, cfg))  # [b*v]
+        sp = joint_rowwarp_topk(logp, prior, cfg)
+        ids = np.asarray(sp.idx)
+        probs = np.asarray(sp.probs)
+        # candidate probs match the dense joint at their flat ids
+        np.testing.assert_allclose(probs, dense[ids], rtol=1e-5, atol=1e-6)
+        # and the candidates carry ALL the mass (dense is zero elsewhere)
+        np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+        np.testing.assert_allclose(dense.sum(), 1.0, atol=1e-5)
+        mask = np.zeros(b * v, bool)
+        mask[ids] = True
+        assert dense[~mask].max() == 0.0
+
+
+def test_rowwarp_differs_from_global_merge():
+    """The per-row warp keeps the union of per-beam nuclei (up to B*k
+    candidates) — NOT the global top-k the flat-norm_logits sites use;
+    guard that the two joints stay distinct (a regression to global-k
+    was the round-3 acceptance bug)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llmspeculativesampling_tpu.ops.sampling import (
+        SamplingConfig, joint_rowwarp_topk, joint_topk_from_logp,
+    )
+
+    rng = np.random.default_rng(12)
+    b, v = 4, 64
+    logp = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(b, v)) * 2.0, jnp.float32), axis=-1)
+    # one dominant row: the global merge concentrates there, the per-row
+    # warp still keeps every row's top-k candidates
+    prior = jnp.asarray([3.0, 0.0, 0.0, 0.0], jnp.float32)
+    cfg = SamplingConfig(1.0, 8, 0.0)
+    rw = joint_rowwarp_topk(logp, prior, cfg)
+    gm = joint_topk_from_logp(logp, prior, cfg)
+    assert rw.probs.shape[-1] == b * 8      # union of per-row top-k
+    assert gm.probs.shape[-1] == 8          # global merge
+    rw_rows = set((np.asarray(rw.idx)[np.asarray(rw.probs) > 0] // v).tolist())
+    assert rw_rows == {0, 1, 2, 3}
