@@ -478,3 +478,30 @@ def test_dp_sharded_paged_engine_int8_and_prefix():
     for rid in rids:
         c = eng.result(rid)
         assert c is not None and c.details["tokens_generated"] >= 6
+
+
+def test_dp_sharded_paged_engine_adaptive_gamma():
+    """Adaptive gamma composes with the dp x tp shard_map path: per-gamma
+    chunk programs built lazily, requests complete."""
+    from llmspeculativesampling_tpu.serve.paged import PagedEngine
+
+    cfg_t = _llama_cfg(num_layers=2)
+    cfg_d = _llama_cfg(num_layers=1)
+    pt = llama.init_params(cfg_t, jax.random.key(0))
+    pd = {
+        "embed": pt["embed"], "ln_final": pt["ln_final"], "lm_head": pt["lm_head"],
+        "layers": jax.tree.map(lambda x: x[:1], pt["layers"]),
+    }
+    bt = ModelBundle("llama", cfg_t, llama.forward)
+    bd = ModelBundle("llama", cfg_d, llama.forward)
+    mesh = make_mesh(dp=2, tp=4)
+    eng = PagedEngine(
+        bd, pd, bt, pt, mesh=mesh, batch_rows=4, num_blocks=16, page=32,
+        gamma=2, adaptive_gamma=(2, 3), eos_token_id=-1, top_k=10, top_p=0.9,
+        prompt_bucket=16, steps_per_sync=2, max_pages_per_req=4)
+    rids = [eng.submit(list(range(5, 15)), 10) for _ in range(4)]
+    eng.run_until_idle()
+    for rid in rids:
+        c = eng.result(rid)
+        assert c is not None and c.details["tokens_generated"] >= 10
+    assert eng.gamma in (2, 3)
