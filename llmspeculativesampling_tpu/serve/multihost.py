@@ -150,3 +150,98 @@ class MultiHostDriver:
 
     def result(self, rid: int):
         return self.engine.result(rid)
+
+
+class PagedMultiHostDriver:
+    """Lockstep wrapper around a :class:`~..serve.paged.PagedEngine`.
+
+    Unlike the slotted driver (which broadcasts an explicit slot plan and
+    re-issues the prefill calls itself), the paged engine's ENTIRE host
+    loop — admission order, per-shard page allocators, prefix-cache
+    registries, fold_in(admit_key, rid) PRNG keys, chunk early-exit,
+    harvest order — is a deterministic function of the injected request
+    stream and the replicated/sharded device state. So lockstep only
+    needs the request stream replicated: host 0 owns the external queue,
+    each round broadcasts the (rid, prompt, max_new) entries it releases,
+    every host injects them via ``submit_with_rid`` and calls the same
+    ``engine.step()``; all hosts then evolve identically (proven
+    bit-identical across two real processes with the dp x tp sharded
+    mesh, tests/test_multihost_lockstep.py). Host 0 answers clients;
+    the other hosts simply drop their (identical) completions.
+    """
+
+    def __init__(self, engine, prompt_cap: int = 512, batch_cap: int = 8):
+        self.engine = engine
+        self.prompt_cap = prompt_cap
+        self.batch_cap = batch_cap
+        self.is_primary = jax.process_index() == 0
+        self._queue: list = []  # host-0 external queue: (rid, ids, max_new)
+        self._next_rid = 0
+
+    def submit(self, prompt_ids, max_new_tokens: int = 40) -> int:
+        assert self.is_primary, "only host 0 owns the request queue"
+        ids = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if ids.shape[0] > self.prompt_cap:
+            raise ValueError(f"prompt longer than prompt_cap={self.prompt_cap}")
+        rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append((rid, ids, int(max_new_tokens)))
+        return rid
+
+    def _build_plan(self):
+        k = self.batch_cap
+        rids = np.full((k,), -1, np.int64)
+        p_lens = np.zeros((k,), np.int32)
+        max_new = np.zeros((k,), np.int32)
+        prompts = np.zeros((k, self.prompt_cap), np.int32)
+        if self.is_primary:
+            for j in range(min(k, len(self._queue))):
+                rid, ids, mn = self._queue[j]
+                rids[j] = rid
+                p_lens[j] = ids.shape[0]
+                max_new[j] = mn
+                prompts[j, : ids.shape[0]] = ids
+            del self._queue[: min(k, len(self._queue))]
+        # every host must agree on whether host 0 still holds queued work
+        # (the local `_queue` is empty off-primary — looping on it alone
+        # would desynchronize run_until_idle and deadlock the broadcast)
+        more = np.asarray(len(self._queue) > 0, np.int32)
+        return rids, p_lens, max_new, prompts, more
+
+    def round(self, chunks: int = 1) -> int:
+        """Broadcast up to ``batch_cap`` releases, inject them on every
+        host, run ``chunks`` engine steps. Returns live rows (host-0
+        view; identical everywhere)."""
+        eng = self.engine
+        rids, p_lens, max_new, prompts, more = _broadcast(self._build_plan())
+        self._more_queued = bool(more)
+        for j in range(rids.shape[0]):
+            if int(rids[j]) < 0:
+                continue
+            eng.submit_with_rid(
+                int(rids[j]),
+                np.asarray(prompts[j][: int(p_lens[j])], np.int32),
+                int(max_new[j]),
+            )
+        for _ in range(max(chunks, 1)):
+            eng.step()
+        return eng.num_active
+
+    def run_until_idle(self, max_rounds: int = 10_000) -> int:
+        """Drain. Do-while shape: EVERY host must enter the first round
+        (a non-primary host sees an empty local queue and idle engine
+        before the first broadcast — gating on that would leave host 0's
+        broadcast waiting forever); after each round all hosts agree on
+        the continue condition (engine state is identical, and the
+        still-queued flag rode the broadcast)."""
+        rounds = 0
+        while rounds < max_rounds:
+            self.round()
+            rounds += 1
+            if not (self._more_queued or self.engine._pending
+                    or self.engine.num_active):
+                break
+        return rounds
+
+    def result(self, rid: int):
+        return self.engine.result(rid)

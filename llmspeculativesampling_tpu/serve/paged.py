@@ -735,6 +735,18 @@ class PagedEngine:
             self.completions.pop(r, None)
 
     def submit(self, prompt_ids, max_new_tokens: int = 40) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self.submit_with_rid(rid, prompt_ids, max_new_tokens)
+        return rid
+
+    def submit_with_rid(self, rid: int, prompt_ids, max_new_tokens: int = 40):
+        """Enqueue under a caller-chosen rid — the multi-host driver
+        (serve/multihost.py PagedMultiHostDriver) broadcasts host 0's
+        (rid, prompt, max_new) plan and every host injects the identical
+        request stream, after which the engine's deterministic host loop
+        (admission order, per-shard allocators, fold_in(admit_key, rid)
+        PRNG) evolves identically everywhere."""
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
         if ids.shape[0] < 2:
             raise ValueError("prompt must have at least 2 tokens")
@@ -742,10 +754,7 @@ class PagedEngine:
         gam_max = max(self._gamma_choices) if self._gamma_choices else self.gamma
         if ids.shape[0] + max_new + gam_max + 1 > self.t_max:
             raise ValueError("request exceeds max pages per request")
-        rid = self._next_rid
-        self._next_rid += 1
         self._pending.append(Request(rid, ids, max_new, time.perf_counter()))
-        return rid
 
     @property
     def num_active(self) -> int:

@@ -30,7 +30,7 @@ def main():
     mode = sys.argv[5] if len(sys.argv) > 5 else "replicated"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
-    if mode in ("sharded", "paged_sharded"):
+    if mode in ("sharded", "paged_sharded", "paged_driver"):
         os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import jax
@@ -53,7 +53,7 @@ def main():
     from llmspeculativesampling_tpu.serve.scheduler import ContinuousBatchingEngine
 
     mesh = None
-    if mode in ("sharded", "paged_sharded"):
+    if mode in ("sharded", "paged_sharded", "paged_driver"):
         from llmspeculativesampling_tpu.parallel.distributed import global_mesh
 
         assert len(jax.devices()) == 4 * nprocs
@@ -61,6 +61,9 @@ def main():
 
     if mode == "paged_sharded":
         run_paged_sharded(pid, mesh, out_path)
+        return
+    if mode == "paged_driver":
+        run_paged_driver(pid, mesh, out_path)
         return
 
     engine, prompts = build_engine(mesh=mesh)
@@ -112,6 +115,34 @@ def run_paged_sharded(pid, mesh, out_path):
     out = {"process": pid, "completions": {}}
     for rid in rids:
         c = engine.result(rid)
+        assert c is not None, f"rid {rid} incomplete"
+        out["completions"][str(rid)] = c.output_ids.tolist()
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    print(f"worker {pid} done", flush=True)
+
+
+def run_paged_driver(pid, mesh, out_path):
+    """PagedMultiHostDriver across two processes: host 0 owns the queue
+    and releases requests in broadcast plans (batch_cap=2, so the
+    release cadence itself is exercised); every host injects the
+    identical stream and steps the dp x tp-sharded engine in lockstep."""
+    import json
+
+    from llmspeculativesampling_tpu.serve.multihost import PagedMultiHostDriver
+
+    engine, prompts = build_paged_engine(mesh)
+    driver = PagedMultiHostDriver(engine, prompt_cap=32, batch_cap=2)
+    rids = []
+    if driver.is_primary:
+        rids = [driver.submit(p, 6) for p in prompts]
+    driver.run_until_idle()
+    out = {"process": pid, "completions": {}}
+    # every host holds the identical completions (host 0 would answer
+    # clients; the others drop theirs) — dump them all for the test
+    ids = rids if driver.is_primary else list(range(len(prompts)))
+    for rid in ids:
+        c = driver.result(rid)
         assert c is not None, f"rid {rid} incomplete"
         out["completions"][str(rid)] = c.output_ids.tolist()
     with open(out_path, "w") as f:

@@ -189,3 +189,58 @@ def test_two_process_paged_sharded(tmp_path):
         assert ref is not None
         np.testing.assert_array_equal(
             np.asarray(res[0]["completions"][str(rid)]), ref.output_ids)
+
+
+def test_two_process_paged_driver(tmp_path):
+    """PagedMultiHostDriver across two real processes: host 0 owns the
+    queue and releases requests in broadcast plans (batch_cap=2 so the
+    release cadence is exercised); both hosts inject the identical
+    stream, step the dp x tp sharded engine in lockstep, and harvest
+    identical completions — matching a single-process driver run."""
+    port = _free_port()
+    outs = [str(tmp_path / f"pd{i}.json") for i in range(2)]
+    env = {**os.environ,
+           "JAX_PLATFORMS": "cpu",
+           "JAX_CPU_COLLECTIVES_IMPLEMENTATION": "gloo"}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port), outs[i],
+             "paged_driver"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            log, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(log)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"driver worker {i} failed:\n{logs[i][-4000:]}"
+
+    res = [json.load(open(o)) for o in outs]
+    assert res[0]["completions"].keys() == res[1]["completions"].keys()
+    for k in res[0]["completions"]:
+        np.testing.assert_array_equal(
+            np.asarray(res[0]["completions"][k]),
+            np.asarray(res[1]["completions"][k]))
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from multihost_worker import build_paged_engine
+    from llmspeculativesampling_tpu.parallel.distributed import global_mesh
+    from llmspeculativesampling_tpu.serve.multihost import PagedMultiHostDriver
+
+    engine, prompts = build_paged_engine(global_mesh(dp=2, tp=4))
+    driver = PagedMultiHostDriver(engine, prompt_cap=32, batch_cap=2)
+    rids = [driver.submit(p, 6) for p in prompts]
+    driver.run_until_idle()
+    for rid in rids:
+        ref = driver.result(rid)
+        assert ref is not None
+        np.testing.assert_array_equal(
+            np.asarray(res[0]["completions"][str(rid)]), ref.output_ids)

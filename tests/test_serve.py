@@ -163,3 +163,50 @@ def test_batched_server_concurrent_requests():
         assert srv.stats.snapshot()["requests"] == 4
     finally:
         srv.shutdown()
+
+
+def test_paged_multihost_driver_single_process():
+    """PagedMultiHostDriver at process_count=1: trivial broadcast, but the
+    full release-plan / inject / step cadence runs, with completions
+    identical to direct engine submission."""
+    import jax
+
+    from llmspeculativesampling_tpu.core.config import LlamaConfig
+    from llmspeculativesampling_tpu.engine.types import ModelBundle
+    from llmspeculativesampling_tpu.models import llama
+    from llmspeculativesampling_tpu.serve.multihost import PagedMultiHostDriver
+    from llmspeculativesampling_tpu.serve.paged import PagedEngine
+
+    def build():
+        cfg_t = LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, num_kv_heads=4, max_position=2048,
+            dtype="float32")
+        cfg_d = LlamaConfig(**{**cfg_t.__dict__, "num_layers": 1})
+        pt = llama.init_params(cfg_t, jax.random.key(0))
+        pd = {
+            "embed": pt["embed"], "ln_final": pt["ln_final"],
+            "lm_head": pt["lm_head"],
+            "layers": jax.tree.map(lambda x: x[:1], pt["layers"]),
+        }
+        return PagedEngine(
+            ModelBundle("llama", cfg_d, llama.forward), pd,
+            ModelBundle("llama", cfg_t, llama.forward), pt,
+            batch_rows=2, num_blocks=16, page=32, max_pages_per_req=4,
+            max_new_cap=16, gamma=2, eos_token_id=-1, top_k=10, top_p=0.9,
+            prompt_bucket=16, steps_per_sync=2)
+
+    prompts = [list(range(5, 15)), list(range(30, 42)), list(range(50, 60))]
+
+    ref = build()
+    ref_rids = [ref.submit(p, 8) for p in prompts]
+    ref.run_until_idle()
+    ref_outs = {r: ref.result(r).output_ids for r in ref_rids}
+
+    drv = PagedMultiHostDriver(build(), prompt_cap=32, batch_cap=2)
+    rids = [drv.submit(p, 8) for p in prompts]
+    drv.run_until_idle()
+    for rid in rids:
+        c = drv.result(rid)
+        assert c is not None
+        np.testing.assert_array_equal(c.output_ids, ref_outs[rid])
