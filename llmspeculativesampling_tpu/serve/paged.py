@@ -552,12 +552,15 @@ class PagedEngine:
         self._acc_ema = None       # per-token acceptance estimate (reporting)
         self._arm_rate = {}        # gamma -> EMA tokens/s of its chunks
         self._chunk_count = 0
-        # exact per-chunk wall attribution: dispatch pushes
-        # (gamma, t_dispatch); consuming chunk k's metadata pops entry k
-        # and measures wall as the NEXT dispatch's timestamp (or now) —
-        # the one-deep pipeline otherwise attributes chunk k's wall to
-        # chunk k+1's gamma, which poisons the bandit during exploration
+        # per-chunk wall attribution: dispatch pushes its gamma;
+        # consuming chunk k's metadata pops it and measures wall
+        # FETCH-TO-FETCH — _meta_np(k) blocks until chunk k finished, so
+        # consecutive fetch gaps track each chunk's real duration even
+        # under the one-deep pipeline (dispatch-to-dispatch gaps track
+        # the PREVIOUS chunk and poisoned the bandit: it preferred
+        # gamma=16 at 325 tok/s where ground truth ranks gamma=4 at 611)
         self._chunk_log = collections.deque()
+        self._last_fetch_t = None
         if self._gamma_choices:
             gamma = self._gamma_choices[len(self._gamma_choices) // 2]
         self.gamma = gamma
@@ -960,7 +963,11 @@ class PagedEngine:
             )
 
     def _dispatch_chunk(self):
-        self._chunk_log.append([self.gamma, time.perf_counter()])
+        if not self._chunk_log:
+            # pipeline drained: the next fetch gap would include idle /
+            # admission time — don't charge it to any arm
+            self._last_fetch_t = None
+        self._chunk_log.append((self.gamma, max(self.num_active, 1)))
         if self._dp_fns is not None:
             if self._gamma_choices and self.gamma != self._dp_gamma:
                 self._dp_chunk_cache.setdefault(
@@ -983,9 +990,13 @@ class PagedEngine:
     def _meta_np(self, meta) -> np.ndarray:
         from ..parallel.distributed import host_fetch
 
-        g, t0 = self._chunk_log.popleft()
-        t1 = self._chunk_log[0][1] if self._chunk_log else time.perf_counter()
-        wall = max(t1 - t0, 1e-9)
+        g, live = self._chunk_log.popleft()
+        now = time.perf_counter()
+        wall = max(now - self._last_fetch_t, 1e-9) if self._last_fetch_t else None
+        self._last_fetch_t = now
+        if wall is not None:
+            wall *= live  # normalize to per-row wall: arms sampled during
+            # ramp-up (few live rows) otherwise read artificially low
         if len(meta) == 4:  # dp: (cur_len, done, acc_d, step_d)
             cur_len, done, acc_d, step_d = host_fetch(meta)
             self._update_gamma(float(np.sum(acc_d)), float(np.sum(step_d)),
@@ -1029,20 +1040,23 @@ class PagedEngine:
             prev = self._arm_rate.get(used_gamma)
             self._arm_rate[used_gamma] = (
                 rate if prev is None else 0.6 * prev + 0.4 * rate)
+            self._arm_visits = getattr(self, "_arm_visits", {})
+            self._arm_visits[used_gamma] = (
+                self._arm_visits.get(used_gamma, 0) + 1)
         self._chunk_count += 1
 
-        # visit every arm twice before exploiting (single early chunks are
-        # dominated by admission ramp-up noise), then exploit with a
-        # runner-up probe every 8 chunks
+        # a MEASURED visit (wall recorded) per arm, twice, before
+        # exploiting — idle-gap chunks record no rate and don't count;
+        # then exploit with a runner-up probe every 8 chunks
         self._arm_visits = getattr(self, "_arm_visits", {})
-        self._arm_visits[used_gamma] = self._arm_visits.get(used_gamma, 0) + 1
         hungry = [g for g in self._gamma_choices
                   if self._arm_visits.get(g, 0) < 2]
         if hungry:
             self.gamma = hungry[0]
             return
         ranked = sorted(self._gamma_choices,
-                        key=lambda g: self._arm_rate[g], reverse=True)
+                        key=lambda g: self._arm_rate.get(g, float("-inf")),
+                        reverse=True)
         if self._chunk_count % 8 == 0 and len(ranked) > 1:
             self.gamma = ranked[1]
         else:

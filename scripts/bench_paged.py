@@ -85,6 +85,9 @@ def main():
     ap.add_argument("--steps_per_sync", type=int, default=4)
     ap.add_argument("--kv_int8", action="store_true")
     ap.add_argument("--flash", choices=["auto", "on", "off"], default="auto")
+    ap.add_argument("--repeat_workload", type=int, default=1,
+                    help="replay the workload N times (steady-state runs "
+                         "for the adaptive-gamma bandit)")
     ap.add_argument("--adaptive_gamma", default="",
                     help="comma list of gamma choices, e.g. 4,8,16 — the "
                          "engine re-picks per chunk from measured acceptance")
@@ -175,7 +178,7 @@ def main():
         bt = dataclasses.replace(bt, cfg=dataclasses.replace(bt.cfg, flash=args.flash))
 
     rng = np.random.default_rng(0)
-    reqs = _workload(args.workload, rng)
+    reqs = _workload(args.workload, rng) * max(args.repeat_workload, 1)
     if args.workload == "shared_prefix":
         system = rng.integers(100, 31000, 512).astype(np.int32)
         prompts = [np.concatenate([system, rng.integers(100, 31000, pl - 512)
