@@ -939,6 +939,9 @@ class PagedEngine:
                 toks_f[row], p_len, int(cur_len[row]), self.eos_token_id
             )
             steps = int(steps_f[row])
+            # with adaptive_gamma the depth varied across this row's
+            # steps; the current arm approximates the drafted-count
+            # denominator (acc_rate is observability, not control)
             drafted = steps * self.gamma
             now = time.perf_counter()
             details = {
