@@ -21,22 +21,34 @@ import os as _os
 # Gated to the TPU backends: cache-write during CPU backend_compile
 # segfaults (observed on the virtual-device test mesh), and the CPU
 # compiles it would save are cheap anyway. When JAX_PLATFORMS is unset
-# (auto-detected platform — e.g. a real TPU VM) the backend is resolved
-# once here so the cache still engages (ADVICE r2 finding #2); that
-# initializes the backend at import, which any real use pays immediately
-# anyway.
-_plat = _os.environ.get("JAX_PLATFORMS", "")
-if (
-    not _os.environ.get("LLMSS_NO_COMPILE_CACHE")
-    and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")
-):
+# (auto-detected platform — e.g. a real TPU VM) the backend would have to
+# be resolved to know whether we're on TPU — but resolving it at import
+# initializes XLA, which breaks ``jax.distributed.initialize`` (it must
+# run before any JAX computation; ADVICE r3 finding #1). So: when
+# multi-host env vars are present the auto-detect branch is DEFERRED and
+# ``parallel.distributed.initialize_cluster`` re-invokes it after the
+# cluster is up; single-host auto-detect still engages at import.
+
+
+def _configure_compile_cache() -> None:
+    """Enable the persistent XLA cache when running on a TPU backend.
+
+    Safe to call more than once; resolves the backend (initializing XLA),
+    so multi-host entry points must call it only *after*
+    ``jax.distributed.initialize``.
+    """
+    if _os.environ.get("LLMSS_NO_COMPILE_CACHE") or _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR"
+    ):
+        return
     try:
         import jax as _jax
 
-        _on_tpu = "tpu" in _plat or "axon" in _plat
-        if not _plat:  # auto-detect: ask the resolved backend
-            _on_tpu = _jax.default_backend() not in ("cpu", "gpu")
-        if _on_tpu:
+        plat = _os.environ.get("JAX_PLATFORMS", "")
+        on_tpu = "tpu" in plat or "axon" in plat
+        if not plat:  # auto-detect: ask the resolved backend
+            on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        if on_tpu:
             _jax.config.update(
                 "jax_compilation_cache_dir",
                 _os.path.join(_os.path.expanduser("~"), ".cache", "llmss_tpu_xla"),
@@ -44,6 +56,14 @@ if (
             _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001 — cache is best-effort
         pass
+
+
+_distributed_env = bool(
+    _os.environ.get("JAX_COORDINATOR_ADDRESS")
+    or _os.environ.get("JAX_NUM_PROCESSES", "1") not in ("", "1")
+)
+if _os.environ.get("JAX_PLATFORMS", "") or not _distributed_env:
+    _configure_compile_cache()
 
 from .engine import (  # noqa: E402
     ModelBundle,

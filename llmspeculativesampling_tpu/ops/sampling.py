@@ -22,8 +22,12 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# Plain numpy scalar: a module-level jnp constant would materialize a
+# device array at import, initializing XLA before
+# jax.distributed.initialize can run (ADVICE r3 #1).
+_NEG_INF = np.float32(-np.inf)
 # Matches the reference's zero-probability guard threshold (utils.py:228).
 ZERO_PROB_EPS = 1e-9
 # Matches the reference's residual-denominator guard (utils.py:245).
@@ -432,7 +436,15 @@ def joint_rowwarp_dense(
 
     Masks are computed from ``logp`` alone: adding a per-row constant
     prior shifts every logit in the row equally, so both the top-k
-    threshold and the top-p nucleus are invariant to it."""
+    threshold and the top-p nucleus are invariant to it.
+
+    Temperature note (ADVICE r3 #3): the reference's ``beam_sample``
+    warper list holds ONLY top-k/top-p (kvcache_model.py:496-499) and its
+    joint is a plain ``log_softmax`` (:786) — no temperature anywhere.
+    For exact reference parity pass ``cfg.temperature == 1`` (as
+    engine/beam_draft.py:97 does); ``temperature != 1`` is a deliberate
+    extension that warps the joint before filtering (q stays a valid
+    proposal, so speculative output correctness is unaffected)."""
     filt = filter_logits(logp, cfg)  # [B, V] per-row masked
     return jax.nn.softmax((filt + row_scores[:, None]).reshape(-1))
 
@@ -442,7 +454,9 @@ def joint_rowwarp_topk(
 ) -> TopKDist:
     """Sparse form of :func:`joint_rowwarp_dense`: per-row top-k
     candidates ([B, k] -> B*k flat ids), per-row nucleus mask, one softmax
-    over everything kept. Candidate-space only — never a [B*V] sort."""
+    over everything kept. Candidate-space only — never a [B*V] sort.
+    Same temperature caveat as the dense form: the reference's beam joint
+    has no temperature warper — pass 1.0 for exact parity."""
     assert cfg.top_k > 0
     b, v = logp.shape
     k = min(cfg.top_k, v)

@@ -51,6 +51,13 @@ def initialize_cluster(
         num_processes=num_processes,
         process_id=process_id,
     )
+    # The package defers persistent-compile-cache auto-detection when
+    # multi-host env vars are present (resolving the backend at import
+    # would initialize XLA before this call and make it raise); now that
+    # the cluster is up it is safe to engage the cache.
+    from .. import _configure_compile_cache
+
+    _configure_compile_cache()
     return jax.process_index()
 
 

@@ -474,18 +474,22 @@ def _build_dp_fns(mesh, state, bundle_d, bundle_t, gamma, scfg, eos_token_id,
         return _paged_finalize_body(
             st, rows, tables, prompts, p_lens, max_news, keys)
 
-    sm = lambda f, ins, outs: jax.jit(jax.shard_map(
+# Donate the state like every single-mesh entry point does
+    # (ADVICE r3 #2): without it each dp chunk/prefill transiently holds
+    # two full copies of both KV pools — pool is sized to the HBM budget,
+    # so the copy doubles peak memory exactly where dp targets big models.
+    sm = lambda f, ins, outs, st_idx: jax.jit(jax.shard_map(
         f, mesh=mesh, in_specs=ins, out_specs=outs,
-        axis_names=dp_manual, check_vma=False))
+        axis_names=dp_manual, check_vma=False), donate_argnums=(st_idx,))
     adm = (rows_s, mat_s, mat_s, rows_s, rows_s, rows_s)
     chunk_out = (sspec, rows_s, rows_s, rows_s, rows_s)
     return {
-        "chunk": sm(make_chunk(gamma), (P(), P(), sspec), chunk_out),
+        "chunk": sm(make_chunk(gamma), (P(), P(), sspec), chunk_out, 2),
         "chunk_for_gamma": lambda g: sm(
-            make_chunk(g), (P(), P(), sspec), chunk_out),
-        "prefill": sm(prefill, (P(), P(), sspec) + adm, sspec),
-        "extend": sm(extend, (P(), P(), sspec, mat_s, rows_s, mat_s), sspec),
-        "finalize": sm(finalize, (sspec,) + adm, sspec),
+            make_chunk(g), (P(), P(), sspec), chunk_out, 2),
+        "prefill": sm(prefill, (P(), P(), sspec) + adm, sspec, 2),
+        "extend": sm(extend, (P(), P(), sspec, mat_s, rows_s, mat_s), sspec, 2),
+        "finalize": sm(finalize, (sspec,) + adm, sspec, 0),
     }
 
 
@@ -783,23 +787,39 @@ class PagedEngine:
                            else self.gamma)
                 total = p_len + nxt.max_new_tokens + gam_max + 1
                 # dp: the row decides the shard, the shard's allocator
-                # hands out shard-local block ids
-                row = free_rows[0]
-                alloc = self._allocs[row // self._rows_local]
-                cached_len, hashes = 0, []
-                if self.prefix_cache:
-                    hashes = prompt_page_hashes(nxt.prompt, self.page)
-                    got = alloc.alloc_shared(total, hashes)
-                    if got is None:
-                        break  # pool full: keep queued
-                    blocks, cached_len = got
-                else:
-                    blocks = alloc.alloc(total)
-                    if blocks is None:
-                        break  # pool full: keep queued (byte-accurate)
+                # hands out shard-local block ids. Try every shard that
+                # still has a free row (ADVICE r3 #4): pinning admission
+                # to free_rows[0]'s shard head-of-line-blocks the queue
+                # when that one shard's pool is full while others idle.
+                # Row order is deterministic, so multi-host admission
+                # stays in lockstep.
+                hashes = (prompt_page_hashes(nxt.prompt, self.page)
+                          if self.prefix_cache else [])
+                row, blocks, cached_len = None, None, 0
+                tried_shards = set()
+                for cand in free_rows:
+                    shard = cand // self._rows_local
+                    if shard in tried_shards:
+                        continue
+                    tried_shards.add(shard)
+                    alloc = self._allocs[shard]
+                    if self.prefix_cache:
+                        got = alloc.alloc_shared(total, hashes)
+                        if got is None:
+                            continue
+                        blocks, cached_len = got
+                    else:
+                        blocks = alloc.alloc(total)
+                        if blocks is None:
+                            continue
+                    row = cand
+                    break
+                if row is None:
+                    break  # every shard with a free row is full: keep queued
                 self._pending.popleft()
+                free_rows.remove(row)
                 batch.append(
-                    (free_rows.pop(0), nxt, np.asarray(padded).reshape(-1),
+                    (row, nxt, np.asarray(padded).reshape(-1),
                      p_len, blocks, cached_len, hashes)
                 )
             if not batch:

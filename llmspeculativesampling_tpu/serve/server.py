@@ -14,8 +14,11 @@ TPU-native differences:
     keeping the engine/tokenizer split (SURVEY.md §7.3);
   * /health and /stats endpoints for load balancers.
 
-The continuous-batching scheduler (multi-request batches over a static
-batch axis) is the planned M7 extension; this endpoint is its front door.
+Both continuous-batching engines run behind this same front door:
+``--num_slots`` wires the slotted scheduler (serve/scheduler.py) and
+``--paged`` the paged engine (serve/paged.py, optional ``--prefix_cache``
+/ ``--kv_quant``) through ``BatchedInferenceServer``; without either, the
+single-request lock-serialized path above is used.
 """
 
 from __future__ import annotations
@@ -150,9 +153,10 @@ class InferenceServer:
 
 class BatchedInferenceServer:
     """Continuous-batching front end: concurrent ``process_request`` calls
-    share the slot batch of a ``ContinuousBatchingEngine`` instead of
-    serializing through a lock — the M7 replacement for the reference's
-    blocking one-at-a-time loop (serving.py:29-38).
+    share the slot batch of a ``ContinuousBatchingEngine`` (or, via the
+    ``engine=`` hook, the paged engine) instead of serializing through a
+    lock — replacing the reference's blocking one-at-a-time loop
+    (serving.py:29-38).
 
     A daemon thread advances the engine whenever work is queued; request
     threads block on a condition until their rid completes.

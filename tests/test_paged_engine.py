@@ -421,3 +421,33 @@ def test_adaptive_gamma_bandit():
     eng._chunk_count = 7
     eng._update_gamma(acc_delta=30.0, step_delta=10.0, used_gamma=8, wall=1.0)
     assert eng.gamma == 4  # ranked[1]
+
+
+def test_dp_admission_skips_full_shard():
+    """ADVICE r3 #4: with dp>1, admission must not head-of-line block on
+    free_rows[0]'s shard — when shard 0's pool is exhausted but shard 1
+    has a free row and pool space, the request goes to shard 1."""
+    from llmspeculativesampling_tpu.parallel import make_mesh
+
+    bd, pd, bt, pt = _make_pair()
+    mesh = make_mesh(dp=2, tp=4)
+    eng = PagedEngine(
+        bd, pd, bt, pt, mesh=mesh, batch_rows=4, num_blocks=16, page=32,
+        max_pages_per_req=8, max_new_cap=32, gamma=2, eos_token_id=-1,
+        top_k=10, top_p=0.9, prompt_bucket=16, steps_per_sync=2,
+    )
+    assert eng.dp == 2 and len(eng._allocs) == 2
+    # Exhaust shard 0's pool out-of-band.
+    stolen = eng._allocs[0].alloc(eng._allocs[0].free_blocks * eng.page)
+    assert stolen is not None and eng._allocs[0].free_blocks == 0
+    rid = eng.submit(list(range(5, 15)), max_new_tokens=6)
+    eng._admit()
+    # Admitted (not queued), and to a shard-1 row.
+    assert not eng._pending
+    rows = [i for i, r in enumerate(eng._row_req) if r is not None]
+    assert rows and all(r >= eng._rows_local for r in rows), rows
+    eng.run_until_idle()
+    c = eng.result(rid)
+    assert c is not None and len(c.output_ids) > c.prompt_len
+    eng._allocs[0].free(stolen)
+    assert eng._allocs[0].free_blocks == eng._allocs[0].num_blocks

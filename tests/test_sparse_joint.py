@@ -202,8 +202,12 @@ def test_rowwarp_sparse_matches_dense():
     logp = jax.nn.log_softmax(
         jnp.asarray(rng.normal(size=(b, v)) * 2.0, jnp.float32), axis=-1)
     prior = jnp.asarray(rng.normal(size=(b,)) * 0.5, jnp.float32)
+    # temperature != 1 is a deliberate extension beyond the reference
+    # (its beam joint has no temperature warper, kvcache_model.py:496-499;
+    # engines pass 1.0 for parity) — the two forms must still agree on it.
     for cfg in (SamplingConfig(1.0, 8, 0.0), SamplingConfig(1.0, 8, 0.9),
-                SamplingConfig(1.0, 20, 0.8)):
+                SamplingConfig(1.0, 20, 0.8), SamplingConfig(0.7, 8, 0.9),
+                SamplingConfig(1.5, 20, 0.8)):
         dense = np.asarray(joint_rowwarp_dense(logp, prior, cfg))  # [b*v]
         sp = joint_rowwarp_topk(logp, prior, cfg)
         ids = np.asarray(sp.idx)
