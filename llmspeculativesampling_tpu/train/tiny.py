@@ -1,0 +1,187 @@
+"""Pure-JAX training loop for tiny byte-level draft/target pairs.
+
+The reference never trains anything — it downloads trained pairs whose
+draft naturally approximates the target (README.md:9). This module
+recreates that *relationship* in-repo: a byte-level corpus from the
+repository's own documentation/source, a standard next-token
+cross-entropy loop (optax adamw, jitted train step, donated optimizer
+state), and a pair (small target + smaller independent draft) trained on
+the same data. Used by tests/test_trained_pair.py (CPU CI) and
+scripts/exp_trained_pair.py (chip measurements behind BASELINE.md's
+"trained tiny pair" rows).
+
+Everything is deterministic given the seed: corpus file list is sorted,
+batches come from a seeded host RNG, init/training use explicit PRNG
+keys.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import LlamaConfig
+from ..engine.types import ModelBundle
+from ..models import llama
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Text shipped with the repo — enough bytes (~500 KB) for a tiny LM and
+# always present, so training needs zero egress.
+_CORPUS_GLOBS = ("SURVEY.md", "README.md", "BASELINE.md", "docs", "llmspeculativesampling_tpu")
+_CORPUS_EXTS = (".md", ".py")
+
+
+def build_repo_corpus(max_bytes: int = 1 << 22, root: Optional[str] = None) -> np.ndarray:
+    """Byte-level corpus (uint8 [N]) from the repo's own text.
+
+    Deterministic: files gathered from a fixed top-level list, walked and
+    concatenated in sorted order, truncated to ``max_bytes``.
+    """
+    root = root or _REPO_ROOT
+    paths = []
+    for top in _CORPUS_GLOBS:
+        p = os.path.join(root, top)
+        if os.path.isfile(p):
+            paths.append(p)
+        elif os.path.isdir(p):
+            for dirpath, dirnames, filenames in os.walk(p):
+                dirnames.sort()
+                for f in sorted(filenames):
+                    if f.endswith(_CORPUS_EXTS):
+                        paths.append(os.path.join(dirpath, f))
+    chunks = []
+    total = 0
+    for p in paths:
+        with open(p, "rb") as fh:
+            b = fh.read()
+        chunks.append(np.frombuffer(b, np.uint8))
+        total += len(b)
+        if total >= max_bytes:
+            break
+    corpus = np.concatenate(chunks)[:max_bytes]
+    if corpus.size < 4096:
+        raise RuntimeError(f"repo corpus unexpectedly small: {corpus.size} bytes")
+    return corpus
+
+
+def sample_batches(
+    corpus: np.ndarray, batch: int, seq_len: int, steps: int, seed: int
+) -> Iterator[np.ndarray]:
+    """Seeded stream of [batch, seq_len] int32 windows into the corpus."""
+    rng = np.random.default_rng(seed)
+    hi = corpus.size - seq_len - 1
+    for _ in range(steps):
+        off = rng.integers(0, hi, size=(batch,))
+        yield np.stack([corpus[o : o + seq_len] for o in off]).astype(np.int32)
+
+
+def _loss_fn(params, cfg: LlamaConfig, bundle: ModelBundle, tokens: jax.Array):
+    cache = bundle.make_cache(tokens.shape[0], tokens.shape[1])
+    logits, _ = bundle.forward(params, cfg, tokens, cache)
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    tgt = tokens[:, 1:]
+    ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return -jnp.mean(ll)
+
+
+@partial(jax.jit, static_argnames=("cfg", "bundle", "tx"), donate_argnames=("params", "opt_state"))
+def _train_step(params, opt_state, tokens, cfg, bundle, tx):
+    loss, grads = jax.value_and_grad(_loss_fn)(params, cfg, bundle, tokens)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def train_lm(
+    cfg: LlamaConfig,
+    corpus: np.ndarray,
+    *,
+    steps: int = 300,
+    batch: int = 16,
+    seq_len: int = 128,
+    lr: float = 3e-3,
+    seed: int = 0,
+    log_every: int = 0,
+) -> Tuple[dict, list]:
+    """Train a Llama-family LM on the corpus; returns (params, loss_log).
+
+    fp32 params regardless of ``cfg.dtype`` intent — at this scale the
+    MXU win doesn't matter and fp32 keeps the CPU CI path bit-stable;
+    callers cast for serving if they want bf16.
+    """
+    bundle = ModelBundle("llama", cfg, llama.forward)
+    params = llama.init_params(cfg, jax.random.key(seed))
+    params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    tx = optax.adamw(optax.cosine_decay_schedule(lr, steps, alpha=0.1), weight_decay=0.01)
+    opt_state = tx.init(params)
+    losses = []
+    for i, tok in enumerate(sample_batches(corpus, batch, seq_len, steps, seed + 1)):
+        params, opt_state, loss = _train_step(
+            params, opt_state, jnp.asarray(tok), cfg, bundle, tx
+        )
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            losses.append((i, float(loss)))
+        elif i in (0, steps - 1):
+            losses.append((i, float(loss)))
+    return params, losses
+
+
+def _byte_cfg(hidden: int, layers: int, heads: int, max_position: int) -> LlamaConfig:
+    return LlamaConfig(
+        vocab_size=256,
+        hidden_size=hidden,
+        intermediate_size=4 * hidden,
+        num_layers=layers,
+        num_heads=heads,
+        num_kv_heads=heads,
+        max_position=max_position,
+        dtype="float32",
+    )
+
+
+def train_tiny_pair(
+    *,
+    target_hidden: int = 256,
+    target_layers: int = 4,
+    draft_hidden: int = 128,
+    draft_layers: int = 2,
+    heads: int = 4,
+    steps: int = 300,
+    draft_steps: Optional[int] = None,
+    batch: int = 16,
+    seq_len: int = 128,
+    lr: float = 3e-3,
+    seed: int = 0,
+    max_position: int = 1024,
+    corpus: Optional[np.ndarray] = None,
+):
+    """Train an independent (draft, target) pair on the repo corpus.
+
+    Returns ``(bundle_d, params_d, bundle_t, params_t, info)`` in the
+    engine's standard order. The draft is a genuinely independent smaller
+    model (its own init, width, and depth) — agreement with the target
+    comes only from both having learned the corpus, exactly like the
+    reference's published pairs and unlike ``core.synthetic``'s damped
+    weight-sharing constructions.
+    """
+    corpus = corpus if corpus is not None else build_repo_corpus()
+    cfg_t = _byte_cfg(target_hidden, target_layers, heads, max_position)
+    cfg_d = _byte_cfg(draft_hidden, draft_layers, heads, max_position)
+    params_t, loss_t = train_lm(
+        cfg_t, corpus, steps=steps, batch=batch, seq_len=seq_len, lr=lr, seed=seed
+    )
+    params_d, loss_d = train_lm(
+        cfg_d, corpus, steps=draft_steps or steps, batch=batch, seq_len=seq_len,
+        lr=lr, seed=seed + 100,
+    )
+    bt = ModelBundle("llama", cfg_t, llama.forward)
+    bd = ModelBundle("llama", cfg_d, llama.forward)
+    info = {"target_loss": loss_t, "draft_loss": loss_d, "corpus_bytes": int(corpus.size)}
+    return bd, params_d, bt, params_t, info
