@@ -4,6 +4,12 @@ Prints ONE JSON line:
   {"metric": "spec_decode_tokens_per_s", "value": N, "unit": "tok/s",
    "vs_baseline": speedup_over_autoregressive, ...extras}
 
+``value`` is the MEDIAN of N_REPS timed runs; ``spec_spread``/``ar_spread``
+carry {n_reps, min, median, max} and ``dispatch_rtt_ms`` a before/after
+tunnel-RTT probe, so a reader can distinguish tunnel load from a real
+regression (VERDICT r3 weak #2: best-of-N medians swung 12% across rounds
+with no spread or load marker in the emitted JSON).
+
 Setup mirrors the reference's headline config shape (draft + big target,
 top_k=20, top_p=0.9, 128 new tokens — README.md:9 / evaluation.py:254-257)
 at the north-star precision (INT8 weight-only target, BASELINE.md): the
@@ -24,6 +30,9 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+N_REPS = 5       # timed reps per method; headline = median (VERDICT r3 #4:
+                 # single best-of numbers hid a 12% cross-round spread)
 
 GAMMA = 8        # measured-optimal for the 1.1b fallback pair
 GAMMA_13B = 24   # measured-optimal at 13B: the 68m-scale draft is nearly
@@ -107,6 +116,32 @@ def acceptance_sweep(ar_best, prompt, gen_kw, make_pair):
     return rows
 
 
+def dispatch_rtt_ms(n: int = 8) -> float:
+    """Tunnel-load sentinel: median wall of a trivial dispatch+fetch. The
+    chip sits behind a remote tunnel whose RTT varies with shared load
+    (docs/PERFORMANCE.md methodology); quoting it beside the throughput
+    numbers lets a reader tell a tunnel-slow run from a regression."""
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((), jnp.int32)
+    x = f(x)  # compile outside the timed reps
+    _ = int(x)
+    walls = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _ = int(f(x))  # one dispatch + one scalar fetch
+        walls.append(time.perf_counter() - t0)
+    return float(np.median(walls) * 1e3)
+
+
+def _spread(vals):
+    return {
+        "n_reps": len(vals),
+        "min": round(float(np.min(vals)), 2),
+        "median": round(float(np.median(vals)), 2),
+        "max": round(float(np.max(vals)), 2),
+    }
+
+
 def main():
     import sys
 
@@ -134,21 +169,29 @@ def main():
     prompt = list(np.random.default_rng(0).integers(100, 31000, 64))
     gen_kw = dict(eos_token_id=2, temperature=1.0, top_k=20, top_p=0.9)
 
-    # warm up (compile), then timed runs; best-of to shed tunnel jitter
-    ar_best = 0.0
-    for k in (1, 2, 3):
+    rtt_before = dispatch_rtt_ms()
+
+    # warm up (compile, k=1 untimed), then N_REPS timed runs each;
+    # headline = MEDIAN with {n_reps, min, max} spread (VERDICT r3 #4)
+    ar_rates = []
+    for k in range(1, N_REPS + 2):
         _, dar = autoregressive_generate(
             bt, pt, prompt, MAX_NEW, key=jax.random.key(k), details=True, **gen_kw)
         if k > 1:
-            ar_best = max(ar_best, dar["tokens_per_s"])
+            ar_rates.append(dar["tokens_per_s"])
+    ar_best = float(np.median(ar_rates))
 
-    sp_best, d_best = 0.0, None
-    for k in (1, 2, 3, 4):
+    sp_rates, details_by_rate = [], {}
+    for k in range(1, N_REPS + 2):
         _, dsp = speculative_generate(
             bd, pd, bt, pt, prompt, MAX_NEW, gamma=gamma,
             key=jax.random.key(k), details=True, **gen_kw)
-        if k > 1 and dsp["tokens_per_s"] > sp_best:
-            sp_best, d_best = dsp["tokens_per_s"], dsp
+        if k > 1:
+            sp_rates.append(dsp["tokens_per_s"])
+            details_by_rate[dsp["tokens_per_s"]] = dsp
+    sp_best = float(np.median(sp_rates))
+    # details of the rep closest to the median rate
+    d_best = details_by_rate[min(details_by_rate, key=lambda r: abs(r - sp_best))]
 
     # acceptance-sensitivity sweep (13B config only; skipped on fallback
     # where the shared-prefix pair's damp has a different meaning)
@@ -176,6 +219,12 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(sp_best / ar_best, 3),
         "ar_tokens_per_s": round(ar_best, 2),
+        "spec_spread": _spread(sp_rates),
+        "ar_spread": _spread(ar_rates),
+        "dispatch_rtt_ms": {
+            "before": round(rtt_before, 1),
+            "after": round(dispatch_rtt_ms(), 1),
+        },
         "acc_rate": round(d_best["acc_rate"], 4),
         "mean_acc_len": round(float(np.mean(d_best["acc_len"])), 3),
         "gamma": gamma,
