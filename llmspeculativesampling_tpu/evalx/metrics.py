@@ -11,8 +11,33 @@ Behavioral parity with the reference:
   * quality "prob score" — evaluation.py:109-132 (mean target log-prob of
     the generated continuation) — computed with the JAX target model.
   * ROUGE-1/2/L and corpus BLEU — the reference shells out to HF
-    ``evaluate`` (network-dependent); re-implemented locally so the
-    harness runs with zero egress.
+    ``evaluate`` (network-dependent, evaluation.py:377 / evaluate_
+    translate.py:220); re-implemented locally so the harness runs with
+    zero egress. Parity with the canonical implementations (pinned by
+    hand-verified goldens in tests/test_evalx.py):
+
+    ROUGE vs ``rouge_score`` (what ``evaluate.load('rouge')`` wraps, at
+    its default ``use_stemmer=False``): per-example rouge1/rouge2
+    F-measure and sentence-level rougeL are EXACT matches — the
+    tokenizer (lowercase, keep [a-z0-9]+ runs) is the same function.
+    Known deltas: (a) no Porter stemming (rouge_score applies it only
+    under the non-default ``use_stemmer=True``); (b) corpus aggregation
+    is the plain mean, where HF's default ``use_aggregator=True``
+    reports a bootstrap-resampled mid estimate whose expectation is the
+    same mean; (c) rougeLsum (newline-split summary-level LCS) is not
+    implemented — the reference only consumes rouge1/2/L.
+
+    BLEU vs HF ``evaluate.load('bleu')`` (the Google NMT
+    ``compute_bleu``, smooth=False): same clipped modified n-gram
+    precisions (counts clipped against the per-position MAX over
+    references), same geometric mean over orders 1..4 with
+    zero-on-any-zero-precision, same brevity penalty against the
+    per-example MIN reference length. Known delta: tokenization — HF
+    feeds ``tokenizer_13a`` output (case-preserving, punctuation split
+    into standalone tokens), ours lowercases and drops punctuation, so
+    scores differ on mixed-case or punctuation-bearing text (equal on
+    lowercased text without punctuation; the case delta is covered by a
+    test).
 """
 
 from __future__ import annotations
@@ -133,23 +158,33 @@ def rouge(predictions: Sequence[str], references: Sequence[str]):
 
 
 # -------------------------------------------------------------------- BLEU
-def bleu(predictions: Sequence[str], references: Sequence[str], max_n: int = 4):
-    """Corpus BLEU with uniform n-gram weights and brevity penalty."""
-    p_logs = []
+def bleu(predictions: Sequence[str], references: Sequence, max_n: int = 4):
+    """Corpus BLEU (Papineni et al.), the HF ``bleu`` metric's semantics
+    (Google NMT ``compute_bleu``, smooth=False): clipped n-gram counts
+    merged with max over the example's references, geometric mean of the
+    four modified precisions (zero if any order has zero matches), and a
+    brevity penalty against the corpus sum of per-example MIN reference
+    lengths. ``references[i]`` may be one string or a list of strings."""
     pred_toks = [_tokenize(p) for p in predictions]
-    ref_toks = [_tokenize(r) for r in references]
+    ref_toks = [
+        [_tokenize(r)] if isinstance(r, str) else [_tokenize(x) for x in r]
+        for r in references
+    ]
+    p_logs = []
     for n in range(1, max_n + 1):
         match, total = 0, 0
-        for pt, rt in zip(pred_toks, ref_toks):
+        for pt, rts in zip(pred_toks, ref_toks):
             pc = Counter(tuple(pt[i : i + n]) for i in range(len(pt) - n + 1))
-            rc = Counter(tuple(rt[i : i + n]) for i in range(len(rt) - n + 1))
+            rc = Counter()
+            for rt in rts:
+                rc |= Counter(tuple(rt[i : i + n]) for i in range(len(rt) - n + 1))
             match += sum((pc & rc).values())
             total += max(sum(pc.values()), 0)
         if total == 0 or match == 0:
             return {"bleu": 0.0}
         p_logs.append(math.log(match / total))
     pred_len = sum(len(t) for t in pred_toks)
-    ref_len = sum(len(t) for t in ref_toks)
+    ref_len = sum(min(len(rt) for rt in rts) for rts in ref_toks)
     bp = 1.0 if pred_len > ref_len else math.exp(1 - ref_len / max(pred_len, 1))
     return {"bleu": float(bp * math.exp(sum(p_logs) / max_n))}
 

@@ -61,6 +61,75 @@ def test_rouge_and_bleu_sanity():
     assert bleu(["zzz"], ["the cat"])["bleu"] == 0.0
 
 
+def test_rouge_golden_values():
+    """Hand-verified against the canonical rouge_score definitions at its
+    default use_stemmer=False (VERDICT r3 ask #5 — non-trivial goldens).
+
+    pred 'the cat was found under the bed' (7 tok) vs ref 'the cat was
+    under the bed' (6 tok): unigram overlap 6 (the x2, cat, was, under,
+    bed) -> P=6/7, R=1, F1=12/13; bigram overlap 4 of pred-6/ref-5
+    (the-cat, cat-was, under-the, the-bed) -> F1 = 2*(4/6)(4/5)/((4/6)+
+    (4/5)) = 8/11; LCS = 'the cat was under the bed' (6) -> F1 = 12/13."""
+    r = rouge(["the cat was found under the bed"], ["the cat was under the bed"])
+    assert r["rouge1"] == pytest.approx(12 / 13)
+    assert r["rouge2"] == pytest.approx(8 / 11)
+    assert r["rougeL"] == pytest.approx(12 / 13)
+
+    # reordering separates rougeL from rouge1: all 4 unigrams match
+    # (F1=1) but the longest common subsequence is only 'the gunman' (2)
+    # -> rougeL = 2/4 = 0.5; single shared bigram 'the gunman' of 3/3 ->
+    # rouge2 = 1/3
+    r = rouge(["the gunman killed police"], ["police killed the gunman"])
+    assert r["rouge1"] == pytest.approx(1.0)
+    assert r["rouge2"] == pytest.approx(1 / 3)
+    assert r["rougeL"] == pytest.approx(0.5)
+
+    # documented delta vs rouge_score's NON-default use_stemmer=True:
+    # no Porter stemming here, so inflections do not match (stemmed
+    # rouge1 would be 1.0)
+    assert rouge(["cats sleeping"], ["cat sleep"])["rouge1"] == 0.0
+
+
+def test_bleu_golden_values():
+    """Hand-verified against the HF `bleu` metric's compute_bleu
+    (smooth=False) semantics on lowercase punctuation-free text, where
+    our tokenizer is equivalent to its tokenizer_13a input."""
+    # 9-token pair differing in one verb: p1=8/9, p2=6/8, p3=4/7,
+    # p4=2/6; equal lengths -> BP=1; bleu = (p1*p2*p3*p4)^(1/4)
+    b = bleu(
+        ["the quick brown fox jumps over the lazy dog"],
+        ["the quick brown fox jumped over the lazy dog"],
+    )
+    assert b["bleu"] == pytest.approx((8 / 9 * 6 / 8 * 4 / 7 * 2 / 6) ** 0.25)
+
+    # multi-reference corpus case from the HF bleu docs -> 1.0 (clip
+    # counts merge with max over refs; BP uses min ref length 2+3=5 < 7)
+    b = bleu(
+        ["hello there general kenobi", "foo bar foobar"],
+        [["hello there general kenobi", "hello there"], ["foo bar foobar"]],
+    )
+    assert b["bleu"] == pytest.approx(1.0)
+
+    # Papineni clipping example: 'the'*7 vs 'the cat is on the mat' ->
+    # clipped unigram precision 2/7 (at max_n=1; 4-gram bleu is 0)
+    assert bleu(["the the the the the the the"], ["the cat is on the mat"],
+                max_n=1)["bleu"] == pytest.approx(2 / 7)
+    assert bleu(["the the the the the the the"],
+                ["the cat is on the mat"])["bleu"] == 0.0
+
+    # brevity penalty: 2-token pred vs 4-token ref, perfect unigrams ->
+    # BP = exp(1 - 4/2) = e^-1
+    import math
+
+    assert bleu(["the cat"], ["the cat is here"], max_n=1)["bleu"] == (
+        pytest.approx(math.exp(-1.0)))
+
+    # documented tokenizer delta vs tokenizer_13a: we lowercase (case-
+    # insensitive match -> 1.0); 13a preserves case and would score 0
+    assert bleu(["The Cat Sat Down"], ["the cat sat down"])["bleu"] == (
+        pytest.approx(1.0))
+
+
 def test_synthetic_dataset_loader():
     ds = load_eval_dataset("synthetic", limit=3, vocab_size=1000, synthetic_prompt_len=8)
     assert len(ds.prompt_ids) == 3
