@@ -535,6 +535,7 @@ class PagedEngine:
         mesh=None,
         pool_pad_128=None,
         adaptive_gamma=None,
+        adaptive_gamma_mode: str = "epoch",
     ):
         self.bundle_d, self.params_d = bundle_d, params_d
         self.bundle_t, self.params_t = bundle_t, params_t
@@ -543,16 +544,34 @@ class PagedEngine:
         # adaptive gamma (value-add beyond the reference's fixed gamma,
         # in the spirit of compression-aware gamma selection —
         # PAPERS.md SpecKV): pass a tuple of candidate depths and the
-        # engine re-picks gamma per sync chunk with a measured-throughput
-        # bandit — per-arm EMA of committed tokens per chunk wall,
-        # explore each arm once, then exploit with periodic re-probes.
+        # engine re-picks the draft depth from MEASURED throughput.
         # Measured rates automatically price in everything an analytic
         # acceptance model misses (tail truncation against target_len,
         # dispatch RTT amortization, batch effects): on the 13B uniform
         # workload the analytic E[tokens]/cost chooser picked gamma=16
         # (acc 0.90) at 355 tok/s while measured gamma=8 serves 470.
         # Page sizing uses max(choices) so any depth fits.
+        #
+        # Two feedback granularities (adaptive_gamma_mode):
+        #  * "epoch" (default): arms switch only at EPOCH boundaries
+        #    (one epoch ~= a full row-set turnover of COMPLETED
+        #    requests); the arm signal is completed-request throughput
+        #    (sum of finished requests' generated tokens / epoch wall).
+        #    This is the granularity at which the queue-level optimum is
+        #    visible: round-3 ground truth showed per-chunk committed-
+        #    token rate genuinely ranks gamma=8 chunks above gamma=4,
+        #    yet fixed gamma=4 wins the saturated 96-request bench 612
+        #    vs 470 tok/s because shallow drafts finish requests sooner
+        #    and faster row turnover feeds admissions — an effect no
+        #    within-chunk measurement can see (docs/PERFORMANCE.md).
+        #    The per-chunk EMA below still runs, as the exploration-
+        #    order prior and the acceptance observability signal.
+        #  * "chunk": round 3's per-chunk bandit (kept for comparison;
+        #    converges to the 2nd-best arm on saturated queues).
         self._gamma_choices = tuple(sorted(adaptive_gamma)) if adaptive_gamma else None
+        if adaptive_gamma_mode not in ("epoch", "chunk"):
+            raise ValueError(f"adaptive_gamma_mode={adaptive_gamma_mode!r}")
+        self._ag_mode = adaptive_gamma_mode
         self._acc_ema = None       # per-token acceptance estimate (reporting)
         self._arm_rate = {}        # gamma -> EMA tokens/s of its chunks
         self._chunk_count = 0
@@ -566,8 +585,38 @@ class PagedEngine:
         self._chunk_log = collections.deque()
         self._last_fetch_t = None
         if self._gamma_choices:
-            gamma = self._gamma_choices[len(self._gamma_choices) // 2]
+            # epoch mode ramps on the SHALLOWEST arm (cheapest per chunk
+            # and the turnover-friendly end — deep arms' risk is
+            # overshoot); chunk mode keeps its middle-arm start
+            gamma = (self._gamma_choices[0] if adaptive_gamma_mode == "epoch"
+                     else self._gamma_choices[len(self._gamma_choices) // 2])
         self.gamma = gamma
+        # epoch-mode state. Every epoch closes after a FULL row turnover
+        # of completions (batch_rows): on saturated uniform workloads
+        # completions arrive in synchronized WAVES, and sub-wave epochs
+        # alias against the wave boundary (measured: quarter-wave epochs
+        # read gamma=8 at 136 tok/s and gamma=16 at 388 on a workload
+        # whose true order is 470/335/248 — the short window lands
+        # either on a burst or on the inter-wave gap). Tick granularity
+        # is per-chunk-fetch, so a closure always lands AT a burst and
+        # the wall spans an integer number of waves. Exploration of a
+        # clearly-losing arm is bounded by the WALL CAP instead: an
+        # explore/probe epoch that hasn't turned the rows over within
+        # 1.6x the best arm's per-completion pace is closed early with
+        # its (low) partial rate — a principled abort, since an arm that
+        # cannot finish a wave at 1.6x the incumbent's pace has already
+        # lost the completed-throughput comparison.
+        self._ep_rate = {}            # gamma -> EMA completed tok/s
+        self._ep_size = max(batch_rows, 4)
+        self._ep_tokens = 0
+        self._ep_completions = 0
+        self._ep_start = None
+        self._ep_phase = "ramp"       # ramp | explore | exploit | probe
+        self._ep_count = 0
+        self._ep_reprobe_every = 16
+        self._ep_wall_cap = 1.6
+        self._best_wall_pc = None     # best observed wall per completion
+        self._ep_history = []         # per-epoch observability records
         self.eos_token_id = eos_token_id
         self.scfg = SamplingConfig(temperature, top_k, top_p)
         self.prompt_bucket = prompt_bucket
@@ -724,6 +773,15 @@ class PagedEngine:
             self._arm_visits = {}
             self._chunk_count = 0
             self._acc_ema = None
+            self._ep_rate.clear()
+            self._ep_phase = "ramp"
+            self._ep_count = 0
+            self._best_wall_pc = None
+            self._ep_history = []
+            self._epoch_reset()
+            self.gamma = (
+                self._gamma_choices[0] if self._ag_mode == "epoch"
+                else self._gamma_choices[len(self._gamma_choices) // 2])
         kbs = [kb for kb in (1, 2, 4, 8) if kb <= self.batch_rows] or [1]
         for p_len in prompt_lens:
             for kb in kbs:
@@ -978,6 +1036,9 @@ class PagedEngine:
                 "prefix_cached_tokens": req.cached_len,
             }
             self.completions[req.rid] = Completion(req.rid, out, p_len, details)
+            if self._gamma_choices and self._ag_mode == "epoch":
+                self._ep_tokens += details["tokens_generated"]
+                self._ep_completions += 1
             self._allocs[row // self._rows_local].free(self._row_blocks[row])
             self._row_req[row] = None
             self._row_blocks[row] = None
@@ -1068,6 +1129,12 @@ class PagedEngine:
                 self._arm_visits.get(used_gamma, 0) + 1)
         self._chunk_count += 1
 
+        if self._ag_mode == "epoch":
+            # per-chunk rates stay maintained as the exploration-order
+            # prior + acceptance observability, but the ARM CHOICE is
+            # the epoch controller's alone (_epoch_tick)
+            return
+
         # a MEASURED visit (wall recorded) per arm, twice, before
         # exploiting — idle-gap chunks record no rate and don't count;
         # then exploit with a runner-up probe every 8 chunks
@@ -1085,12 +1152,101 @@ class PagedEngine:
         else:
             self.gamma = ranked[0]
 
+    def _epoch_reset(self):
+        """Drop the open epoch's partial accumulation (engine idle: wall
+        from here on would be queue-starvation time, not arm quality).
+        Learned per-arm rates survive."""
+        self._ep_tokens = 0
+        self._ep_completions = 0
+        self._ep_start = None
+
+    def _epoch_tick(self):
+        """Close the epoch when enough requests completed, credit the
+        current arm with the epoch's completed-request throughput, and
+        pick the next arm. Switching ONLY here is the point: within-
+        chunk rates cannot see request-turnover effects (the round-3
+        bandit's structural failure — converged to gamma=8 at 380-399
+        tok/s where fixed gamma=4 serves 612 on the saturated bench)."""
+        if not self._gamma_choices or self._ag_mode != "epoch":
+            return
+        now = time.perf_counter()
+        if self._ep_start is None:
+            if self.num_active:
+                self._ep_start = now
+            return
+        wall = now - self._ep_start
+        capped = (
+            self._ep_phase in ("ramp", "explore", "probe")
+            and self._best_wall_pc is not None
+            and wall > self._ep_wall_cap * self._best_wall_pc * self._ep_size
+        )
+        if self._ep_completions < self._ep_size and not capped:
+            return
+        rate = self._ep_tokens / max(wall, 1e-9)
+        self._ep_history.append({
+            "gamma": self.gamma, "phase": self._ep_phase,
+            "completions": self._ep_completions,
+            "wall_s": round(wall, 3),
+            "tok_per_s": round(rate, 1),
+            "capped": capped,
+        })
+        # every epoch is recorded, including the ramp: its rate is biased
+        # a few % low by the cold pipeline, but the incumbent keeps being
+        # re-measured during exploit so the EMA washes that out
+        prev = self._ep_rate.get(self.gamma)
+        self._ep_rate[self.gamma] = (
+            rate if prev is None else 0.5 * prev + 0.5 * rate)
+        if not capped and self._ep_completions > 0:
+            wpc = wall / self._ep_completions
+            if self._best_wall_pc is None or wpc < self._best_wall_pc:
+                self._best_wall_pc = wpc
+        self._ep_count += 1
+        # next arm: unexplored first (ordered by the per-chunk prior,
+        # best-looking first), then exploit the best epoch rate with a
+        # periodic runner-up probe so drifting workloads are tracked
+        prior = sorted(self._gamma_choices,
+                       key=lambda g: self._arm_rate.get(g, float("-inf")),
+                       reverse=True)
+        unexplored = [g for g in prior if g not in self._ep_rate]
+        if unexplored:
+            self.gamma = unexplored[0]
+            self._ep_phase = "explore"
+        else:
+            ranked = sorted(self._gamma_choices,
+                            key=lambda g: self._ep_rate[g], reverse=True)
+            if (len(ranked) > 1
+                    and self._ep_count % self._ep_reprobe_every == 0):
+                self.gamma = ranked[1]
+                self._ep_phase = "probe"
+            else:
+                self.gamma = ranked[0]
+                self._ep_phase = "exploit"
+        self._ep_tokens = 0
+        self._ep_completions = 0
+        self._ep_start = now
+
+    def adaptive_stats(self) -> dict:
+        """Observability snapshot of the gamma controller."""
+        return {
+            "mode": self._ag_mode if self._gamma_choices else "fixed",
+            "gamma": self.gamma,
+            "acc_ema": self._acc_ema,
+            "epoch_rates": dict(self._ep_rate),
+            "chunk_rates": dict(self._arm_rate),
+            "epoch_phase": self._ep_phase,
+            "epochs": self._ep_count,
+            "epoch_history": list(self._ep_history),
+        }
+
     def step(self) -> int:
         self._admit()
         if self.num_active:
             m = self._meta_np(self._dispatch_chunk())
             b = self.batch_rows
             self._harvest(m[b:].astype(bool), m[:b], tuple(self._row_gen))
+            self._epoch_tick()
+        else:
+            self._epoch_reset()
         return self.num_active
 
     def run_until_idle(self, max_steps: int = 10_000):
@@ -1113,10 +1269,27 @@ class PagedEngine:
                 m = self._meta_np(inflight[0])
                 b = self.batch_rows
                 self._harvest(m[b:].astype(bool), m[:b], inflight[1])
+                self._epoch_tick()
             inflight = new_inflight
             if inflight is None and not self._pending and not self.num_active:
+                self._epoch_reset()
                 break
         return steps
 
     def result(self, rid: int) -> Optional[Completion]:
         return self.completions.pop(rid, None)
+
+    def partial_result(self, rid: int) -> Optional[np.ndarray]:
+        """Tokens committed so far (prompt + new, not yet EOS-truncated)
+        for a still-decoding request; None when rid is not on a row.
+        Powers server-side streaming (serve/server.py SSE): one small
+        row fetch per poll, safe to interleave with chunks because the
+        host only ever reads — commit state advances monotonically."""
+        for row, req in enumerate(self._row_req):
+            if req is not None and req.rid == rid:
+                from ..parallel.distributed import host_fetch
+
+                toks, cl = host_fetch(
+                    (self.state.tokens[row], self.state.cur_len[row]))
+                return np.asarray(toks)[: int(cl)]
+        return None

@@ -90,7 +90,12 @@ def main():
                          "for the adaptive-gamma bandit)")
     ap.add_argument("--adaptive_gamma", default="",
                     help="comma list of gamma choices, e.g. 4,8,16 — the "
-                         "engine re-picks per chunk from measured acceptance")
+                         "engine re-picks from measured throughput")
+    ap.add_argument("--adaptive_mode", choices=["epoch", "chunk"],
+                    default="epoch",
+                    help="arm-switch granularity: 'epoch' = completed-"
+                         "request throughput per row-turnover epoch (r4); "
+                         "'chunk' = round 3's per-chunk bandit")
     ap.add_argument("--pool_pad", choices=["auto", "on", "off"], default="auto",
                     help="pad sub-128 head_dim pools to 128 so the draft "
                          "rides the native flash lane (VERDICT r2 #6)")
@@ -211,15 +216,24 @@ def main():
             page=args.page, max_pages_per_req=max_pages,
             max_new_cap=max(mn for _, mn in reqs), prompt_bucket=64,
             kv_quant=args.kv_int8, prefix_cache=args.prefix_cache,
-            pool_pad_128=pool_pad, adaptive_gamma=agam, **eng_kw,
+            pool_pad_128=pool_pad, adaptive_gamma=agam,
+            adaptive_gamma_mode=args.adaptive_mode, **eng_kw,
         )
         print(f"paged pools: draft D={paged.state.draft_cache.k.shape[-1] if hasattr(paged.state.draft_cache, 'k') else paged.state.draft_cache.k_q.shape[-1]}, "
               f"target D={paged.state.target_cache.k.shape[-1] if hasattr(paged.state.target_cache, 'k') else paged.state.target_cache.k_q.shape[-1]}", flush=True)
         paged.warmup(prompt_lens=sorted({pl for pl, _ in reqs}))
         r = _run(paged, reqs, prompts)
         if agam:
+            st = paged.adaptive_stats()
             print(f"adaptive gamma settled on {paged.gamma} "
-                  f"(acc EMA {paged._acc_ema:.3f})", flush=True)
+                  f"(mode={st['mode']}, acc EMA {paged._acc_ema:.3f}, "
+                  f"epochs={st['epochs']}, "
+                  f"epoch_rates={ {g: round(r, 1) for g, r in st['epoch_rates'].items()} })",
+                  flush=True)
+            for h in st.get("epoch_history", []):
+                print(f"  epoch {h['phase']:>7} g={h['gamma']:<2} "
+                      f"compl={h['completions']:<3} wall={h['wall_s']:.2f}s "
+                      f"-> {h['tok_per_s']} tok/s", flush=True)
         results["paged"] = r
         pc = (f"  prefix hits={paged.allocator.hits}p"
               if args.prefix_cache else "")

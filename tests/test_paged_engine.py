@@ -7,6 +7,7 @@ Counterpart of tests/test_scheduler.py for the slotted engine; the
 reference has no serving concurrency at all (serving.py:15-61)."""
 
 import numpy as np
+import pytest
 import jax
 
 from llmspeculativesampling_tpu.core.config import LlamaConfig
@@ -381,7 +382,7 @@ def test_adaptive_gamma_completes_and_adapts():
         max_pages_per_req=8, max_new_cap=64, gamma=4, eos_token_id=-1,
         top_k=10, top_p=0.9, prompt_bucket=32, adaptive_gamma=(2, 4, 8),
     )
-    assert eng.gamma == 4  # starts mid-choice
+    assert eng.gamma == 2  # epoch mode ramps on the shallowest arm
     rids = [eng.submit(list(range(5, 25)), max_new_tokens=24) for _ in range(3)]
     eng.run_until_idle()
     for rid in rids:
@@ -393,14 +394,16 @@ def test_adaptive_gamma_completes_and_adapts():
 
 
 def test_adaptive_gamma_bandit():
-    """The bandit explores every arm once, then exploits the arm with the
-    best MEASURED committed-tokens/wall, with a periodic runner-up
-    re-probe; the acceptance EMA stays a sane estimate."""
+    """CHUNK mode (round 3's bandit, kept as an explicit opt-in): explores
+    every arm once, then exploits the arm with the best MEASURED
+    committed-tokens/wall, with a periodic runner-up re-probe; the
+    acceptance EMA stays a sane estimate."""
     bd, pd, bt, pt = _make_pair()
     eng = PagedEngine(
         bd, pd, bt, pt, batch_rows=2, num_blocks=16, page=32,
         max_pages_per_req=8, max_new_cap=32, gamma=4, eos_token_id=-1,
         top_k=10, top_p=0.9, prompt_bucket=32, adaptive_gamma=(2, 4, 8),
+        adaptive_gamma_mode="chunk",
     )
     # exploration: every arm must be visited twice before exploiting
     seen = []
@@ -421,6 +424,96 @@ def test_adaptive_gamma_bandit():
     eng._chunk_count = 7
     eng._update_gamma(acc_delta=30.0, step_delta=10.0, used_gamma=8, wall=1.0)
     assert eng.gamma == 4  # ranked[1]
+
+
+def test_adaptive_gamma_epoch_controller():
+    """EPOCH mode (the round-4 default): arms switch only at epoch
+    boundaries, credited with completed-request throughput — the
+    granularity at which request-turnover effects are visible (the
+    round-3 chunk bandit structurally converged to the 2nd-best arm,
+    docs/PERFORMANCE.md). Drive the controller's host logic directly:
+    recorded ramp on the shallowest arm -> explore the remaining arms
+    (prior order) -> exploit the best epoch rate -> periodic runner-up
+    probe -> wall-capped abort of a stalling arm; chunk feedback must
+    NOT switch the arm."""
+    bd, pd, bt, pt = _make_pair()
+    eng = PagedEngine(
+        bd, pd, bt, pt, batch_rows=4, num_blocks=16, page=32,
+        max_pages_per_req=4, max_new_cap=32, gamma=4, eos_token_id=-1,
+        top_k=10, top_p=0.9, prompt_bucket=32, adaptive_gamma=(2, 4, 8),
+    )
+    assert eng._ag_mode == "epoch" and eng.gamma == 2  # shallowest-arm ramp
+
+    # chunk-level feedback updates the prior but never switches the arm
+    eng._update_gamma(acc_delta=20.0, step_delta=10.0, used_gamma=4, wall=1.0)
+    assert eng.gamma == 2 and 4 in eng._arm_rate
+
+    # simulated epoch throughput per arm: 2 -> 100 tok/s, 4 -> 60, 8 -> 30
+    rates = {2: 100.0, 4: 60.0, 8: 30.0}
+
+    eng._row_req[0] = object()  # engine looks busy -> epochs open
+
+    def run_epoch():
+        arm = eng.gamma
+        eng._epoch_tick()  # opens the epoch (sets _ep_start)
+        eng._ep_start -= 1.0  # pretend 1 s elapsed
+        eng._ep_tokens = int(rates[arm])
+        eng._ep_completions = eng._ep_size  # full row turnover
+        eng._epoch_tick()
+        return arm
+
+    assert run_epoch() == 2            # ramp epoch — RECORDED
+    assert eng._ep_rate[2] == pytest.approx(100.0, rel=1e-2)
+    assert eng._best_wall_pc == pytest.approx(1.0 / eng._ep_size, rel=1e-2)
+    explored = [run_epoch() for _ in range(2)]
+    assert explored[0] == 4            # prior (chunk EMA) puts 4 first
+    assert sorted(explored) == [4, 8]  # remaining arms get one epoch
+    assert eng.gamma == 2              # exploit the measured-best arm
+    for g, r in rates.items():
+        assert eng._ep_rate[g] == pytest.approx(r, rel=0.2)
+    # periodic probe hits the runner-up, then returns to the best
+    seen = [run_epoch() for _ in range(eng._ep_reprobe_every + 1)]
+    assert 4 in seen and seen.count(2) >= eng._ep_reprobe_every - 1
+    assert eng.gamma == 2
+
+    # wall cap: a probe epoch that stalls (few completions, long wall)
+    # is closed early with its low partial rate instead of waiting for
+    # the full turnover
+    eng.gamma = 8
+    eng._ep_phase = "probe"
+    eng._epoch_tick()
+    eng._ep_start -= 10.0              # way past 1.6x best pace * size
+    eng._ep_tokens, eng._ep_completions = 5, 1
+    before = eng._ep_count
+    eng._epoch_tick()
+    assert eng._ep_count == before + 1 and eng._ep_history[-1]["capped"]
+    assert eng._ep_rate[8] < rates[8]  # dragged down by the abort
+    assert eng.gamma == 2              # back to exploiting
+
+    # idle reset drops the partial epoch but keeps learned rates
+    eng._epoch_reset()
+    assert eng._ep_start is None and eng._ep_rate[2] > 0
+    st = eng.adaptive_stats()
+    assert st["mode"] == "epoch" and st["gamma"] == 2 and st["epochs"] >= 5
+
+
+def test_adaptive_gamma_epoch_serves_correctly():
+    """End-to-end epoch mode on the tiny pair: requests complete with the
+    right token counts while the controller cycles arms."""
+    bd, pd, bt, pt = _make_pair()
+    eng = PagedEngine(
+        bd, pd, bt, pt, batch_rows=3, num_blocks=24, page=32,
+        max_pages_per_req=8, max_new_cap=64, gamma=4, eos_token_id=-1,
+        top_k=10, top_p=0.9, prompt_bucket=32, adaptive_gamma=(2, 4),
+    )
+    rids = [eng.submit(list(range(5, 25)), max_new_tokens=24)
+            for _ in range(9)]
+    eng.run_until_idle()
+    for rid in rids:
+        c = eng.result(rid)
+        assert c is not None
+        assert len(c.output_ids) - c.prompt_len >= 24
+    assert eng.gamma in (2, 4)
 
 
 def test_dp_admission_skips_full_shard():
