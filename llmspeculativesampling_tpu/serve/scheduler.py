@@ -583,3 +583,16 @@ class ContinuousBatchingEngine:
 
     def result(self, rid: int) -> Optional[Completion]:
         return self.completions.pop(rid, None)
+
+    def partial_result(self, rid: int) -> Optional[np.ndarray]:
+        """Tokens committed so far (prompt + new, not yet EOS-truncated)
+        for a still-decoding request; None when rid is not on a slot.
+        Powers server-side streaming (serve/server.py SSE) — a read-only
+        lane fetch, monotone across chunks."""
+        for slot, req in enumerate(self._slot_req):
+            if req is not None and req.rid == rid:
+                spec = self.state.spec
+                toks, cl = host_fetch(
+                    (spec.tokens[slot, 0], spec.cur_len[slot]))
+                return np.asarray(toks)[: int(cl)]
+        return None

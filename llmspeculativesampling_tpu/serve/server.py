@@ -53,13 +53,29 @@ class ServerStats:
     requests: int = 0
     tokens_generated: int = 0
     total_time_s: float = 0.0
+    window: int = 1024            # last-N window for the percentiles
+    _ttfts: "collections.deque" = None
+    _lats: "collections.deque" = None
     _lock: threading.Lock = field(default_factory=threading.Lock)
 
-    def record(self, tokens: int, dt: float):
+    def __post_init__(self):
+        import collections
+
+        self._ttfts = collections.deque(maxlen=self.window)
+        self._lats = collections.deque(maxlen=self.window)
+
+    def record(self, tokens: int, dt: float, ttft_s: Optional[float] = None):
         with self._lock:
             self.requests += 1
             self.tokens_generated += tokens
             self.total_time_s += dt
+            self._lats.append(dt)
+            if ttft_s is not None:
+                self._ttfts.append(ttft_s)
+
+    @staticmethod
+    def _pct(xs, q):
+        return round(float(np.percentile(list(xs), q)), 4) if xs else None
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -70,6 +86,14 @@ class ServerStats:
                 "tokens_per_s": round(
                     self.tokens_generated / self.total_time_s, 2
                 ) if self.total_time_s else 0.0,
+                # per-request latency percentiles over the last `window`
+                # requests; TTFT comes from the batching engines'
+                # admission timestamps (VERDICT r3 ask #8) and is null on
+                # the lock-serialized single-request path
+                "ttft_p50_s": self._pct(self._ttfts, 50),
+                "ttft_p95_s": self._pct(self._ttfts, 95),
+                "latency_p50_s": self._pct(self._lats, 50),
+                "latency_p95_s": self._pct(self._lats, 95),
             }
 
 
@@ -202,7 +226,13 @@ class BatchedInferenceServer:
                 if self.engine.completions:
                     for rid in list(self.engine.completions):
                         self._results[rid] = self.engine.result(rid)
-                    self._cv.notify_all()
+                # wake after every step (not only on completions):
+                # streaming requests poll partial_result between steps
+                self._cv.notify_all()
+            # hand the lock over for one scheduler tick — without this
+            # the loop re-acquires before any woken waiter can run
+            # (lock barging) and streams only ever see the final state
+            time.sleep(0.001)
 
     def shutdown(self):
         self._stop = True
@@ -224,11 +254,65 @@ class BatchedInferenceServer:
             while rid not in self._results:
                 self._cv.wait(timeout=1.0)
             comp = self._results.pop(rid)
-        self.stats.record(comp.details["tokens_generated"], time.perf_counter() - t0)
+        self.stats.record(comp.details["tokens_generated"],
+                          time.perf_counter() - t0,
+                          ttft_s=comp.details.get("ttft_s"))
         text = None
         if self.tokenizer is not None:
             text = self.tokenizer.decode(comp.output_ids.tolist(), skip_special_tokens=True)
         return text, comp.output_ids
+
+    def process_request_stream(self, request: dict):
+        """Streaming variant: yields ``np.ndarray`` chunks of NEW token
+        ids as the engine commits them (the speculative accept loop
+        commits several per verify step), ending after the final chunk.
+        Powers the SSE mode of ``POST /predict`` (``"stream": true``) —
+        the reference's serving.py has no streaming; this surfaces the
+        continuous-batching engines' incremental progress at the API."""
+        c = self.config
+        if "prompt_ids" in request:
+            ids = np.asarray(request["prompt_ids"], np.int32).reshape(-1)
+        else:
+            if self.tokenizer is None:
+                raise ValueError("text prompt requires a tokenizer; send prompt_ids")
+            ids = np.asarray(self.tokenizer.encode(request["prompt"]), np.int32)
+        num_tokens = int(request.get("max_tokens", c.num_tokens))
+        t0 = time.perf_counter()
+        sent = len(ids)
+        with self._cv:
+            rid = self.engine.submit(ids, num_tokens)
+            self._cv.notify_all()
+            while True:
+                if rid in self._results:
+                    comp = self._results.pop(rid)
+                    break
+                part = self.engine.partial_result(rid)
+                if part is not None and len(part) > sent:
+                    chunk = np.asarray(part[sent:])
+                    # committed-but-not-yet-truncated tokens can trail
+                    # the EOS; cut the stream there (harvest will
+                    # truncate output_ids the same way)
+                    eos_at = np.nonzero(chunk == c.eos_token_id)[0]
+                    if eos_at.size:
+                        chunk = chunk[: int(eos_at[0]) + 1]
+                    sent += len(chunk)
+                    # release the lock while the consumer writes
+                    self._cv.release()
+                    try:
+                        yield chunk
+                    finally:
+                        self._cv.acquire()
+                    if eos_at.size:
+                        while rid not in self._results:
+                            self._cv.wait(timeout=0.05)
+                    continue
+                self._cv.wait(timeout=0.05)
+        out = np.asarray(comp.output_ids)
+        if len(out) > sent:
+            yield out[sent:]
+        self.stats.record(comp.details["tokens_generated"],
+                          time.perf_counter() - t0,
+                          ttft_s=comp.details.get("ttft_s"))
 
 
 def make_http_server(server, host: str = "0.0.0.0",
@@ -264,6 +348,9 @@ def make_http_server(server, host: str = "0.0.0.0",
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
+                if req.get("stream"):
+                    self._stream(req)
+                    return
                 text, ids = server.process_request(req)
                 resp = {"output_ids": ids.tolist()}
                 if text is not None:
@@ -271,6 +358,37 @@ def make_http_server(server, host: str = "0.0.0.0",
                 self._send(200, resp)
             except Exception as e:  # noqa: BLE001 — surface as JSON like Flask
                 self._send(500, {"error": str(e)})
+
+        def _stream(self, req):
+            """SSE response: one ``data:`` event per committed chunk of
+            new tokens (several per verify step under speculation), then
+            a ``done`` event. Requires a batching engine
+            (process_request_stream); the lock-serialized path falls
+            back to a single final chunk."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+
+            def emit(obj):
+                self.wfile.write(f"data: {json.dumps(obj)}\n\n".encode())
+                self.wfile.flush()
+
+            tok = getattr(server, "tokenizer", None)
+            if hasattr(server, "process_request_stream"):
+                for chunk in server.process_request_stream(req):
+                    ev = {"token_ids": np.asarray(chunk).tolist()}
+                    if tok is not None:
+                        ev["text"] = tok.decode(ev["token_ids"],
+                                                skip_special_tokens=True)
+                    emit(ev)
+            else:
+                text, ids = server.process_request(req)
+                ev = {"token_ids": np.asarray(ids).tolist()}
+                if text is not None:
+                    ev["text"] = text
+                emit(ev)
+            emit({"done": True})
 
     return ThreadingHTTPServer((host, port), Handler)
 
