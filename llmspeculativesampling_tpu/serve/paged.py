@@ -223,7 +223,62 @@ def _paged_chunk_body(
     # stack them over shards
     acc_delta = (jnp.sum(state.accepted) - a0)[None]
     step_delta = (jnp.sum(state.steps) - s0)[None]
-    return state, state.cur_len, state.done, acc_delta, step_delta
+    return state, _pack_chunk_meta(state, acc_delta, step_delta)
+
+
+def _pack_chunk_meta(state: PagedBatchState, acc_delta, step_delta) -> jax.Array:
+    """Pack EVERYTHING the host scheduler reads after a chunk — the
+    cur_len/done scheduling metadata AND the full harvest payload
+    (tokens, per-row counters, accept histories) — into one flat int32
+    vector. Two reasons this is a single concatenated buffer:
+      * concatenate materializes a fresh buffer, so the output can never
+        alias the donated state (the pipelined ``copy_to_host_async``
+        survives donation — see _paged_chunk's docstring);
+      * harvest used to ``host_fetch(self.state...)``, which blocks on
+        the IN-FLIGHT chunk's pending output under the one-deep
+        pipeline. With synchronized completion waves the in-flight
+        chunk early-exits and the fetch was cheap, but any staggered
+        completion (mixed workloads, or an unlucky per-request PRNG
+        making one row run a chunk longer) stalled ~a full chunk wall
+        PER HARVEST — measured 850 ms stalls and a 623 -> 500 tok/s
+        whole-run regression on the saturated 13B bench. Shipping the
+        harvest payload inside the chunk's own (already async-copied)
+        metadata makes harvest zero-fetch and the stall class
+        impossible.
+    Layout per shard-local block of b rows (all int32; f32 bitcast):
+      [cur_len b | done b | steps b | accepted b | resamples b |
+       bonus b | acc_rate_sum(bitcast) b | acc_delta 1 | step_delta 1 |
+       acc_len_hist b*h | tokens b*t]"""
+    f = lambda x: x.astype(jnp.int32).reshape(-1)
+    return jnp.concatenate([
+        f(state.cur_len), f(state.done), f(state.steps), f(state.accepted),
+        f(state.resamples), f(state.bonus),
+        jax.lax.bitcast_convert_type(
+            state.acc_rate_sum.astype(jnp.float32), jnp.int32).reshape(-1),
+        f(acc_delta), f(step_delta),
+        f(state.acc_len_hist), f(state.tokens),
+    ])
+
+
+def _unpack_chunk_meta(pack: np.ndarray, b: int, h: int, t: int) -> dict:
+    """Host-side inverse of :func:`_pack_chunk_meta` for one shard-local
+    block (or the whole batch when dp == 1)."""
+    o = 0
+
+    def take(n, shape=None):
+        nonlocal o
+        out = pack[o : o + n]
+        o += n
+        return out.reshape(shape) if shape else out
+
+    return {
+        "cur_len": take(b), "done": take(b).astype(bool),
+        "steps": take(b), "accepted": take(b), "resamples": take(b),
+        "bonus": take(b),
+        "acc_rate_sum": take(b).view(np.float32),
+        "acc_delta": int(take(1)[0]), "step_delta": int(take(1)[0]),
+        "acc_len_hist": take(b * h, (b, h)), "tokens": take(b * t, (b, t)),
+    }
 
 
 @partial(
@@ -236,12 +291,10 @@ def _paged_chunk(
     bundle_d, bundle_t, gamma: int, scfg: SamplingConfig, eos_token_id: int,
     n_steps: int,
 ):
-    state, cur_len, done, acc_d, step_d = _paged_chunk_body(
+    return _paged_chunk_body(
         params_d, params_t, state, bundle_d=bundle_d, bundle_t=bundle_t,
         gamma=gamma, scfg=scfg, eos_token_id=eos_token_id, n_steps=n_steps,
     )
-    meta = jnp.concatenate([cur_len, done.astype(jnp.int32), acc_d, step_d])
-    return state, meta
 
 
 def _install_state(
@@ -482,7 +535,9 @@ def _build_dp_fns(mesh, state, bundle_d, bundle_t, gamma, scfg, eos_token_id,
         f, mesh=mesh, in_specs=ins, out_specs=outs,
         axis_names=dp_manual, check_vma=False), donate_argnums=(st_idx,))
     adm = (rows_s, mat_s, mat_s, rows_s, rows_s, rows_s)
-    chunk_out = (sspec, rows_s, rows_s, rows_s, rows_s)
+    # the packed per-shard meta/harvest vector concatenates over dp:
+    # global layout = [shard0 pack | shard1 pack | ...]
+    chunk_out = (sspec, rows_s)
     return {
         "chunk": sm(make_chunk(gamma), (P(), P(), sspec), chunk_out, 2),
         "chunk_for_gamma": lambda g: sm(
@@ -761,6 +816,7 @@ class PagedEngine:
         decode chunk. Remote compilation costs seconds per distinct
         program — never pay that on a live request."""
         rng = np.random.default_rng(0)
+        rid0 = self._next_rid
         rids = []
         if self._gamma_choices:
             # precompile every adaptive-gamma arm's chunk program so arm
@@ -798,6 +854,13 @@ class PagedEngine:
                     self.run_until_idle()
         for r in rids:
             self.completions.pop(r, None)
+        # warmup must not shift live traffic's rid sequence: per-request
+        # PRNG is fold_in(admit_key, rid), so a shifted numbering changes
+        # every request's acceptance draws — measured to de-synchronize
+        # the completion waves of an otherwise identical run (and the
+        # number of warmup submissions varies with config, e.g. one per
+        # adaptive-gamma arm, making configs incomparable)
+        self._next_rid = rid0
 
     def submit(self, prompt_ids, max_new_tokens: int = 40) -> int:
         rid = self._next_rid
@@ -999,17 +1062,20 @@ class PagedEngine:
             self.state = _paged_finalize(self.state, *fin_args)
 
     def _harvest(self, done: np.ndarray, cur_len: np.ndarray, gens: tuple):
-        state = self.state
         fin = [i for i, r in enumerate(self._row_req)
                if r is not None and done[i] and gens[i] == self._row_gen[i]]
         if not fin:
             return
-        from ..parallel.distributed import host_fetch
-
-        toks_f, steps_f, hist_f, accr_f, acc_f, res_f, bon_f = host_fetch((
-            state.tokens, state.steps, state.acc_len_hist, state.acc_rate_sum,
-            state.accepted, state.resamples, state.bonus,
-        ))
+        # zero-fetch: everything below reads the chunk's own packed
+        # metadata (unpacked by _meta_np from the pipelined async host
+        # copy). Fetching self.state here would BLOCK on the in-flight
+        # chunk's pending output whenever completions stagger across
+        # chunks — see _pack_chunk_meta.
+        hv = self._last_harvest
+        toks_f, steps_f, hist_f, accr_f, acc_f, res_f, bon_f = (
+            hv["tokens"], hv["steps"], hv["acc_len_hist"],
+            hv["acc_rate_sum"], hv["accepted"], hv["resamples"], hv["bonus"],
+        )
         for row in fin:
             req = self._row_req[row]
             p_len = req.prompt.shape[0]
@@ -1059,19 +1125,22 @@ class PagedEngine:
                 fn = self._dp_chunk_cache[self.gamma]
             else:
                 fn = self._dp_fns["chunk"]
-            self.state, cur_len, done, acc_d, step_d = fn(
-                self.params_d, self.params_t, self.state)
-            return (cur_len, done, acc_d, step_d)
-        g = self.gamma
-        self.state, meta = _paged_chunk(
+            self.state, pack = fn(self.params_d, self.params_t, self.state)
+            return pack
+        self.state, pack = _paged_chunk(
             self.params_d, self.params_t, self.state,
             bundle_d=self.bundle_d, bundle_t=self.bundle_t,
-            gamma=g, scfg=self.scfg,
+            gamma=self.gamma, scfg=self.scfg,
             eos_token_id=self.eos_token_id, n_steps=self.steps_per_sync,
         )
-        return (meta,)
+        return pack
 
-    def _meta_np(self, meta) -> np.ndarray:
+    def _meta_np(self, pack) -> np.ndarray:
+        """Consume one chunk's packed meta+harvest vector (host copy was
+        started asynchronously by the pipeline): unpack, stash the
+        harvest payload for a zero-fetch ``_harvest``, feed the gamma
+        controller, and return the legacy [cur_len | done] scheduling
+        view."""
         from ..parallel.distributed import host_fetch
 
         g, live = self._chunk_log.popleft()
@@ -1081,16 +1150,23 @@ class PagedEngine:
         if wall is not None:
             wall *= live  # normalize to per-row wall: arms sampled during
             # ramp-up (few live rows) otherwise read artificially low
-        if len(meta) == 4:  # dp: (cur_len, done, acc_d, step_d)
-            cur_len, done, acc_d, step_d = host_fetch(meta)
-            self._update_gamma(float(np.sum(acc_d)), float(np.sum(step_d)),
-                               g, wall)
-            return np.concatenate(
-                [np.asarray(cur_len), np.asarray(done).astype(np.int32)])
-        arr = np.asarray(host_fetch(meta[0]))
-        b = self.batch_rows
-        self._update_gamma(float(arr[2 * b]), float(arr[2 * b + 1]), g, wall)
-        return arr[: 2 * b]
+        arr = np.asarray(host_fetch(pack))
+        bl, h, t = self._rows_local, self.max_new_cap, self.t_max
+        seg = arr.reshape(self.dp, -1)
+        shards = [_unpack_chunk_meta(seg[s], bl, h, t) for s in range(self.dp)]
+        merged = {
+            k: np.concatenate([sh[k] for sh in shards])
+            for k in ("cur_len", "done", "steps", "accepted", "resamples",
+                      "bonus", "acc_rate_sum")
+        }
+        for k in ("acc_len_hist", "tokens"):
+            merged[k] = np.concatenate([sh[k] for sh in shards], axis=0)
+        self._last_harvest = merged
+        self._update_gamma(
+            float(sum(sh["acc_delta"] for sh in shards)),
+            float(sum(sh["step_delta"] for sh in shards)), g, wall)
+        return np.concatenate(
+            [merged["cur_len"], merged["done"].astype(np.int32)])
 
     def _update_gamma(self, acc_delta: float, step_delta: float,
                       used_gamma: int, wall: float):
@@ -1261,8 +1337,8 @@ class PagedEngine:
                 meta = self._dispatch_chunk()
                 steps += 1
                 try:
-                    meta[0].copy_to_host_async()
-                except Exception:  # dp tuple / backend without async
+                    meta.copy_to_host_async()
+                except Exception:  # backend without async copies
                     pass
                 new_inflight = (meta, tuple(self._row_gen))
             if inflight is not None:

@@ -375,6 +375,7 @@ class ContinuousBatchingEngine:
         backends with remote compilation each distinct program costs
         seconds the first time — never pay that on a live request."""
         rng = np.random.default_rng(0)
+        rid0 = self._next_rid
         rids = []
         # burst of num_slots+1 compiles the full-batch prefill and the K=1
         # path; the extra small waves compile the intermediate power-of-two
@@ -391,6 +392,10 @@ class ContinuousBatchingEngine:
             self.run_until_idle()
         for r in rids:
             self.completions.pop(r, None)
+        # keep live traffic's rid sequence (and so its fold_in PRNG
+        # stream) independent of how many warmup requests ran — see
+        # serve/paged.py warmup for the measured wave-sync rationale
+        self._next_rid = rid0
 
     def submit(self, prompt_ids, max_new_tokens: int = 40) -> int:
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
