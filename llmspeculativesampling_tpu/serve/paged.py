@@ -672,6 +672,7 @@ class PagedEngine:
         self._ep_wall_cap = 1.6
         self._best_wall_pc = None     # best observed wall per completion
         self._ep_history = []         # per-epoch observability records
+        self._resync = False          # one-shot admission re-sync flag
         self.eos_token_id = eos_token_id
         self.scfg = SamplingConfig(temperature, top_k, top_p)
         self.prompt_bucket = prompt_bucket
@@ -834,6 +835,7 @@ class PagedEngine:
             self._ep_count = 0
             self._best_wall_pc = None
             self._ep_history = []
+            self._resync = False
             self._epoch_reset()
             self.gamma = (
                 self._gamma_choices[0] if self._ag_mode == "epoch"
@@ -890,6 +892,10 @@ class PagedEngine:
 
     def _admit(self):
         free_rows = [i for i, r in enumerate(self._row_req) if r is None]
+        if self._resync:
+            if len(free_rows) < min(self.batch_rows, len(self._pending)):
+                return  # hold until a full wave of rows is free
+            self._resync = False
         while free_rows and self._pending:
             batch = []  # (row, req, padded, p_len, blocks, cached_len, hashes)
             bucket = None
@@ -1117,6 +1123,13 @@ class PagedEngine:
             # pipeline drained: the next fetch gap would include idle /
             # admission time — don't charge it to any arm
             self._last_fetch_t = None
+        if (self._gamma_choices and self._ag_mode == "epoch"
+                and self._ep_start is None):
+            # open the epoch when WORK starts (first chunk dispatch), not
+            # at the first post-harvest tick — the late open undercounted
+            # the ramp epoch's wall ~4x, poisoning both its recorded rate
+            # and the wall-cap pace derived from it
+            self._ep_start = time.perf_counter()
         self._chunk_log.append((self.gamma, max(self.num_active, 1)))
         if self._dp_fns is not None:
             if self._gamma_choices and self.gamma != self._dp_gamma:
@@ -1247,9 +1260,7 @@ class PagedEngine:
             return
         now = time.perf_counter()
         if self._ep_start is None:
-            if self.num_active:
-                self._ep_start = now
-            return
+            return  # no work dispatched yet (_dispatch_chunk opens it)
         wall = now - self._ep_start
         capped = (
             self._ep_phase in ("ramp", "explore", "probe")
@@ -1284,6 +1295,7 @@ class PagedEngine:
                        key=lambda g: self._arm_rate.get(g, float("-inf")),
                        reverse=True)
         unexplored = [g for g in prior if g not in self._ep_rate]
+        was_explore = self._ep_phase in ("ramp", "explore")
         if unexplored:
             self.gamma = unexplored[0]
             self._ep_phase = "explore"
@@ -1297,6 +1309,16 @@ class PagedEngine:
             else:
                 self.gamma = ranked[0]
                 self._ep_phase = "exploit"
+            if was_explore:
+                # exploration's wall-capped mid-wave arm switches leave
+                # the rows COMPLETING AT STAGGERED CHUNKS, and saturated
+                # admission then reproduces the stagger every wave —
+                # each split wave pays an extra partial chunk + split
+                # prefill (~20% on the uniform 13B bench). One-shot fix
+                # at the explore->exploit transition: hold admissions
+                # until a full wave of rows is free, re-aligning the
+                # wave at the cost of a few briefly idle rows.
+                self._resync = True
         self._ep_tokens = 0
         self._ep_completions = 0
         self._ep_start = now

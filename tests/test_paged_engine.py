@@ -454,9 +454,11 @@ def test_adaptive_gamma_epoch_controller():
     eng._row_req[0] = object()  # engine looks busy -> epochs open
 
     def run_epoch():
+        import time as _t
+
         arm = eng.gamma
-        eng._epoch_tick()  # opens the epoch (sets _ep_start)
-        eng._ep_start -= 1.0  # pretend 1 s elapsed
+        eng._ep_start = _t.perf_counter() - 1.0  # opened 1 s ago (the
+        # real open happens at first chunk dispatch)
         eng._ep_tokens = int(rates[arm])
         eng._ep_completions = eng._ep_size  # full row turnover
         eng._epoch_tick()
@@ -469,6 +471,16 @@ def test_adaptive_gamma_epoch_controller():
     assert explored[0] == 4            # prior (chunk EMA) puts 4 first
     assert sorted(explored) == [4, 8]  # remaining arms get one epoch
     assert eng.gamma == 2              # exploit the measured-best arm
+    # explore -> exploit transition arms the one-shot admission re-sync
+    assert eng._resync
+    eng._pending.extend([object()] * 8)
+    eng._admit()                       # 1 free row < full wave: held
+    assert eng._resync
+    eng._pending.clear()
+    eng._row_req[0] = None
+    free_all = eng._admit()            # all rows free + no pending: clears
+    assert not eng._resync
+    eng._row_req[0] = object()
     for g, r in rates.items():
         assert eng._ep_rate[g] == pytest.approx(r, rel=0.2)
     # periodic probe hits the runner-up, then returns to the best
@@ -479,10 +491,11 @@ def test_adaptive_gamma_epoch_controller():
     # wall cap: a probe epoch that stalls (few completions, long wall)
     # is closed early with its low partial rate instead of waiting for
     # the full turnover
+    import time as _t
+
     eng.gamma = 8
     eng._ep_phase = "probe"
-    eng._epoch_tick()
-    eng._ep_start -= 10.0              # way past 1.6x best pace * size
+    eng._ep_start = _t.perf_counter() - 10.0  # way past 1.6x best pace * size
     eng._ep_tokens, eng._ep_completions = 5, 1
     before = eng._ep_count
     eng._epoch_tick()
