@@ -279,6 +279,135 @@ def synthetic_pair_int8_small_draft(
     return ModelBundle("llama", cfg_d, mod.forward), pd, bt, pt
 
 
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1), static_argnames=("ld", "rk", "rn", "sdiv")
+)
+def _tile_embed_jit(q_t, s_t, q_d, s_d, *, ld, rk, rn, sdiv):
+    """Overwrite the first ``ld`` layers of a stacked int8 weight with the
+    draft weight tiled ``rk x rn`` block-wise (q values repeat; scales
+    tile over output blocks and divide by ``sdiv``). Donated + jitted for
+    the same reason as :func:`_blockify_jit` — an eager .at[].set copies
+    the multi-GB stacked tensor."""
+    q = q_t.at[:ld].set(jnp.tile(q_d, (1, rk, rn)))
+    s = s_t.at[:ld].set(jnp.tile(s_d, (1, rn)) / sdiv)
+    return q, s
+
+
+def synthetic_opt_pair_int8_small_draft(
+    *,
+    hidden_size: int = 5120,
+    ffn_dim: int = 20480,
+    num_layers: int = 40,
+    num_heads: int = 40,
+    vocab_size: int = 50272,
+    draft_hidden: int = 640,
+    draft_ffn: int = 2560,
+    draft_layers: int = 2,
+    max_position: int = 2048,
+    damp: float = 0.008,
+    embed_std: float = 0.5,
+    seed: int = 3,
+):
+    """opt-13b-geometry int8 target + an *independent 125m-scale draft* —
+    the reference's actual OPT pairing (opt-125m + opt-13b,
+    /root/reference/README.md:11). The shared-prefix construction
+    (:func:`synthetic_opt_pair_int8`) reads two FULL-WIDTH target layers
+    (~630 MB of weights) per draft token; this draft reads ~74 MB (9.8 MB
+    of int8 layers + the 64 MB bf16 tied embed/head) — less than a real
+    fp16 opt-125m's ~250 MB.
+
+    Construction — the REPLICATION trick (VERDICT r3 ask #3): the llama
+    pair's zero-pad block embedding fails for OPT because LayerNorm
+    subtracts the mean over the full width (a zero-padded state's mean
+    differs from the narrow state's; RMSNorm has no mean term, which is
+    why llama only needed a sqrt width correction). Instead the target
+    carries the draft's h-dim state REPLICATED r = H/h times at 1/r
+    scale: ``x_t = tile(x_d, r) / r``.
+      * LayerNorm is exactly replication-equivariant: mean/var over the
+        tiled vector equal the draft's, and the 1/r scale cancels in the
+        normalization (up to eps; ``embed_std`` keeps var >> r^2*eps), so
+        ``LN_t(x_t) = tile(LN_d(x_d))`` at FULL scale with tiled w/b —
+        the mean term that killed zero-padding is handled for free.
+      * Every projection becomes the draft weight tiled over r x r input/
+        output blocks: input-side mats (wq/wk/wv/fc1, consuming the
+        full-scale LN output) divide by r; residual-writing mats
+        (wo/fc2) divide by r^2 so their contribution re-enters the
+        stream at 1/r scale. ReLU and per-head softmax commute with
+        tiling (each group of 5 target heads repeats the draft's 5
+        heads at head_dim 128).
+      * The OPT tied lm_head works out exactly: embed_t = tile(embed_d)/r
+        gives both the 1/r-scale input state AND logits_t =
+        tile(h_d) . embed_t = h_d . embed_d = logits_d (r copies x 1/r).
+    At damp=0 target logits == draft logits up to bf16 noise
+    (tests/test_quant.py::test_opt_small_draft_pair_replicates_exactly);
+    damped deeper layers then open the acceptance gap, same as every
+    other synthetic pair."""
+    from ..models import opt as mod
+
+    H, F, L, V = hidden_size, ffn_dim, num_layers, vocab_size
+    h, f, ld = draft_hidden, draft_ffn, draft_layers
+    r = H // h
+    head_dim = H // num_heads
+    assert H == r * h and F == r * f, (
+        "replication needs hidden and ffn ratios equal and integer")
+    assert h % head_dim == 0, (h, head_dim)
+
+    # ---- standalone draft, born int8 (biases/LN at OPT init values:
+    # zeros/ones, which tile to the target's own init values)
+    cfg_d = OPTConfig(
+        vocab_size=V, hidden_size=h, ffn_dim=f, num_layers=ld,
+        num_heads=h // head_dim, max_position=max_position, dtype="bfloat16",
+    )
+    kd = jax.random.split(jax.random.key(seed + 1), 9)
+    zeros = lambda shape: jnp.zeros(shape, jnp.bfloat16)
+    dlay = {
+        "wq": _int8_weight(kd[0], k=h, n=h, n_stack=ld), "bq": zeros((ld, h)),
+        "wk": _int8_weight(kd[1], k=h, n=h, n_stack=ld), "bk": zeros((ld, h)),
+        "wv": _int8_weight(kd[2], k=h, n=h, n_stack=ld), "bv": zeros((ld, h)),
+        "wo": _int8_weight(kd[3], k=h, n=h, n_stack=ld), "bo": zeros((ld, h)),
+        "fc1_w": _int8_weight(kd[4], k=h, n=f, n_stack=ld), "fc1_b": zeros((ld, f)),
+        "fc2_w": _int8_weight(kd[5], k=f, n=h, n_stack=ld), "fc2_b": zeros((ld, h)),
+        "ln_attn_w": jnp.ones((ld, h), jnp.bfloat16), "ln_attn_b": zeros((ld, h)),
+        "ln_mlp_w": jnp.ones((ld, h), jnp.bfloat16), "ln_mlp_b": zeros((ld, h)),
+    }
+    pd = {
+        "embed": jax.random.normal(kd[6], (V, h), jnp.bfloat16) * embed_std,
+        "embed_pos": jax.random.normal(
+            kd[7], (max_position + 2, h), jnp.bfloat16) * embed_std,
+        "layers": dlay,
+        "ln_final_w": jnp.ones((h,), jnp.bfloat16),
+        "ln_final_b": zeros((h,)),
+    }  # lm_head tied to embed, like the target
+
+    # ---- target, born int8 at full width, then replicate the draft into
+    # its first ld layers (damp already applied to layers >= ld only)
+    _, _, bt, pt = synthetic_opt_pair_int8(
+        hidden_size=H, ffn_dim=F, num_layers=L, num_heads=num_heads,
+        vocab_size=V, draft_layers=ld, max_position=max_position,
+        damp=damp, seed=seed,
+    )
+    lt = pt["layers"]
+
+    def tile_w(name, sdiv):
+        q, s = _tile_embed_jit(
+            lt[name]["q"], lt[name]["s"], dlay[name]["q"], dlay[name]["s"],
+            ld=ld, rk=r, rn=r, sdiv=sdiv,
+        )
+        lt[name] = {"q": q, "s": s}
+
+    for name in ("wq", "wk", "wv", "fc1_w"):
+        tile_w(name, float(r))        # full-scale LN input -> /r
+    for name in ("wo", "fc2_w"):
+        tile_w(name, float(r * r))    # residual re-entry at 1/r -> /r^2
+    inv_r = jnp.bfloat16(1.0 / r)
+    pt["embed"] = jnp.tile(pd["embed"], (1, r)) * inv_r
+    pt["embed_pos"] = jnp.tile(pd["embed_pos"], (1, r)) * inv_r
+    # biases and LN params: draft init values (zeros / ones) tile to the
+    # target's own init values — nothing to rewrite
+
+    return ModelBundle("opt", cfg_d, mod.forward), pd, bt, pt
+
+
 def synthetic_opt_pair_int8(
     *,
     hidden_size: int = 5120,

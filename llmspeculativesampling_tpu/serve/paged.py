@@ -670,6 +670,14 @@ class PagedEngine:
         self._ep_count = 0
         self._ep_reprobe_every = 16
         self._ep_wall_cap = 1.6
+        # exploit hysteresis: a challenger must beat the incumbent's EMA
+        # by >12% to take over. Adjacent arms' epoch rates carry ±10-20%
+        # noise from arm-switch wave disruption; without hysteresis a
+        # 504-vs-499 read flipped a 288-request run onto the 2nd-best
+        # arm and the resulting flip-flopping kept every wave staggered
+        # (~380 tok/s where the stable incumbent serves ~600)
+        self._ep_hysteresis = 1.12
+        self._ep_incumbent = None
         self._best_wall_pc = None     # best observed wall per completion
         self._ep_history = []         # per-epoch observability records
         self._resync = False          # one-shot admission re-sync flag
@@ -836,6 +844,7 @@ class PagedEngine:
             self._best_wall_pc = None
             self._ep_history = []
             self._resync = False
+            self._ep_incumbent = None
             self._epoch_reset()
             self.gamma = (
                 self._gamma_choices[0] if self._ag_mode == "epoch"
@@ -896,6 +905,12 @@ class PagedEngine:
             if len(free_rows) < min(self.batch_rows, len(self._pending)):
                 return  # hold until a full wave of rows is free
             self._resync = False
+            # restart the epoch: the drain's stragglers belong to the
+            # previous arm and idle-row time to neither — the new arm's
+            # measurement starts from the re-synced wave
+            self._ep_tokens = 0
+            self._ep_completions = 0
+            self._ep_start = None
         while free_rows and self._pending:
             batch = []  # (row, req, padded, p_len, blocks, cached_len, hashes)
             bucket = None
@@ -1295,30 +1310,37 @@ class PagedEngine:
                        key=lambda g: self._arm_rate.get(g, float("-inf")),
                        reverse=True)
         unexplored = [g for g in prior if g not in self._ep_rate]
-        was_explore = self._ep_phase in ("ramp", "explore")
+        prev_gamma = self.gamma
         if unexplored:
             self.gamma = unexplored[0]
             self._ep_phase = "explore"
         else:
             ranked = sorted(self._gamma_choices,
                             key=lambda g: self._ep_rate[g], reverse=True)
-            if (len(ranked) > 1
+            inc = self._ep_incumbent
+            if inc not in self._gamma_choices or inc not in self._ep_rate:
+                inc = ranked[0]
+            elif (ranked[0] != inc and self._ep_rate[ranked[0]]
+                  > self._ep_hysteresis * self._ep_rate[inc]):
+                inc = ranked[0]  # challenger demonstrably better
+            self._ep_incumbent = inc
+            if (len(self._gamma_choices) > 1
                     and self._ep_count % self._ep_reprobe_every == 0):
-                self.gamma = ranked[1]
+                self.gamma = next(g for g in ranked if g != inc)
                 self._ep_phase = "probe"
             else:
-                self.gamma = ranked[0]
+                self.gamma = inc
                 self._ep_phase = "exploit"
-            if was_explore:
-                # exploration's wall-capped mid-wave arm switches leave
-                # the rows COMPLETING AT STAGGERED CHUNKS, and saturated
-                # admission then reproduces the stagger every wave —
-                # each split wave pays an extra partial chunk + split
-                # prefill (~20% on the uniform 13B bench). One-shot fix
-                # at the explore->exploit transition: hold admissions
-                # until a full wave of rows is free, re-aligning the
-                # wave at the cost of a few briefly idle rows.
-                self._resync = True
+        if self.gamma != prev_gamma:
+            # ANY arm switch staggers the completion waves (rows end up
+            # finishing at different chunks, and saturated admission then
+            # reproduces the stagger every wave: extra partial chunk +
+            # split prefill, ~20%/wave). Re-align by holding admissions
+            # until a full wave of rows is free; _admit also restarts
+            # the epoch when the hold clears, so the drain is charged
+            # to NO arm (charging it to the new arm made a 634-tok/s
+            # incumbent read 499 and flipped a run onto the wrong arm).
+            self._resync = True
         self._ep_tokens = 0
         self._ep_completions = 0
         self._ep_start = now
@@ -1328,6 +1350,9 @@ class PagedEngine:
         return {
             "mode": self._ag_mode if self._gamma_choices else "fixed",
             "gamma": self.gamma,
+            # the settled arm: self.gamma may transiently be a probe
+            "incumbent": (self._ep_incumbent if self._ep_incumbent is not None
+                          else self.gamma),
             "acc_ema": self._acc_ema,
             "epoch_rates": dict(self._ep_rate),
             "chunk_rates": dict(self._arm_rate),

@@ -12,7 +12,11 @@ TPU-native differences:
     requests hit the jit cache (first request pays compilation);
   * ids-in/ids-out mode ({"prompt_ids": [...]}) works with no tokenizer,
     keeping the engine/tokenizer split (SURVEY.md §7.3);
-  * /health and /stats endpoints for load balancers.
+  * /health and /stats endpoints for load balancers — /stats includes
+    TTFT and latency p50/p95 over the last 1024 requests;
+  * SSE streaming: POST /predict {"stream": true} emits committed-token
+    chunks incrementally (behind a batching engine; the reference's
+    serving.py is strictly blocking).
 
 Both continuous-batching engines run behind this same front door:
 ``--num_slots`` wires the slotted scheduler (serve/scheduler.py) and

@@ -1,13 +1,14 @@
-"""OPT-13B-geometry bench: AR / speculative / paged serving on one chip.
+"""OPT-13B-geometry bench: AR / speculative / slotted + paged serving.
 
 The reference's second headline pairing is opt-125m + opt-13b
 (/root/reference/README.md:11). This measures our OPT family at that
-target geometry (int8, ~13.2 GB on one v5e chip) with the shared-prefix
-2-layer draft (full hidden width — HEAVIER per draft token than a true
-125m, so the spec numbers are a lower bound for the real pairing; see
-core/synthetic.py::synthetic_opt_pair_int8).
+target geometry (int8, ~13.2 GB on one v5e chip) with the TRUE
+125m-scale draft (core/synthetic.py::synthetic_opt_pair_int8_small_draft,
+~74 MB of reads per draft token via the replication embedding — less
+than a real fp16 opt-125m's ~250 MB). ``--draft fat`` selects the old
+shared-prefix 2-full-width-layer draft (~630 MB/token) for comparison.
 
-    python scripts/bench_opt13b.py [--max_new 256] [--serve_requests 12]
+    python scripts/bench_opt13b.py [--max_new 256] [--serve_requests 24]
 """
 
 import argparse
@@ -21,72 +22,118 @@ import numpy as np
 import jax
 
 
+def _serve(eng, reqs, max_new, label):
+    t0 = time.perf_counter()
+    rids = [eng.submit(p, max_new) for p in reqs]
+    eng.run_until_idle()
+    wall = time.perf_counter() - t0
+    toks, ttfts, lats = 0, [], []
+    for rid in rids:
+        c = eng.result(rid)
+        toks += c.details["tokens_generated"]
+        ttfts.append(c.details["ttft_s"])
+        lats.append(c.details["latency_s"])
+    print(f"{label}: {toks / wall:.1f} tok/s aggregate  "
+          f"ttft p50={np.percentile(ttfts, 50) * 1e3:.0f}ms "
+          f"p95={np.percentile(ttfts, 95) * 1e3:.0f}ms  "
+          f"lat p50={np.percentile(lats, 50):.2f}s", flush=True)
+    return toks / wall
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max_new", type=int, default=256)
-    ap.add_argument("--gamma", type=int, default=8)
-    ap.add_argument("--serve_requests", type=int, default=12)
+    ap.add_argument("--gammas", default="8,16,24",
+                    help="speculative depth sweep (best is reported)")
+    ap.add_argument("--draft", choices=["small", "fat"], default="small")
+    ap.add_argument("--serve_requests", type=int, default=24)
+    ap.add_argument("--serve_gamma", type=int, default=8)
     ap.add_argument("--skip_serving", action="store_true")
+    ap.add_argument("--skip_slotted", action="store_true",
+                    help="paged-only serving (slotted needs a second "
+                         "warmup; skip under time pressure)")
     args = ap.parse_args()
 
-    from llmspeculativesampling_tpu.core.synthetic import synthetic_opt_pair_int8
+    from llmspeculativesampling_tpu.core.synthetic import (
+        synthetic_opt_pair_int8,
+        synthetic_opt_pair_int8_small_draft,
+    )
     import llmspeculativesampling_tpu as L
 
     print("device:", jax.devices()[0].device_kind, flush=True)
-    bd, pd, bt, pt = synthetic_opt_pair_int8()
+    if args.draft == "small":
+        bd, pd, bt, pt = synthetic_opt_pair_int8_small_draft()
+    else:
+        bd, pd, bt, pt = synthetic_opt_pair_int8()
+    print(f"draft: {args.draft} (hidden {bd.cfg.hidden_size}, "
+          f"{bd.cfg.num_layers} layers)", flush=True)
     rng = np.random.default_rng(0)
     prompt = rng.integers(100, 50000, 64).astype(np.int32)
     kw = dict(eos_token_id=2, top_k=20, top_p=0.9, details=True)
 
-    # bench.py methodology: warm (compile) run, then best-of-3 to shed
-    # tunnel jitter (docs/PERFORMANCE.md methodology; single runs on the
-    # axon tunnel under-report by up to ~2x)
-    ar_tps = 0.0
+    # median-of-3 timed reps after a compile rep (bench.py r4 methodology)
+    ar_rates = []
     for k in (0, 1, 2, 3):
         _, d = L.autoregressive_generate(
             bt, pt, prompt, args.max_new, key=jax.random.key(k), **kw)
         if k > 0:
-            ar_tps = max(ar_tps, d["tokens_per_s"])
-    print(f"AR (target-only int8): {ar_tps:.1f} tok/s "
-          f"({1e3 / ar_tps:.2f} ms/token)", flush=True)
+            ar_rates.append(d["tokens_per_s"])
+    ar_tps = float(np.median(ar_rates))
+    print(f"AR (target-only int8): {ar_tps:.1f} tok/s median "
+          f"({1e3 / ar_tps:.2f} ms/token, "
+          f"spread {min(ar_rates):.1f}-{max(ar_rates):.1f})", flush=True)
 
-    sp_best, d_best = 0.0, None
-    for k in (0, 1, 2, 3):
-        _, d = L.speculative_generate(
-            bd, pd, bt, pt, prompt, args.max_new, gamma=args.gamma,
-            key=jax.random.key(k), **kw)
-        if k > 0 and d["tokens_per_s"] > sp_best:
-            sp_best, d_best = d["tokens_per_s"], d
-    d = d_best
-    print(f"spec gamma={args.gamma}: {sp_best:.1f} tok/s "
-          f"({sp_best / ar_tps:.2f}x AR), "
-          f"acc_rate {d['acc_rate']:.2f}, "
-          f"mean acc_len {np.mean(d['acc_len']):.2f}", flush=True)
+    best = None
+    for gamma in (int(g) for g in args.gammas.split(",")):
+        rates, d_at = [], {}
+        for k in (0, 1, 2, 3):
+            _, d = L.speculative_generate(
+                bd, pd, bt, pt, prompt, args.max_new, gamma=gamma,
+                key=jax.random.key(k), **kw)
+            if k > 0:
+                rates.append(d["tokens_per_s"])
+                d_at[d["tokens_per_s"]] = d
+        med = float(np.median(rates))
+        d = d_at[min(d_at, key=lambda x: abs(x - med))]
+        print(f"spec gamma={gamma}: {med:.1f} tok/s median "
+              f"({med / ar_tps:.2f}x AR), acc_rate {d['acc_rate']:.2f}, "
+              f"mean acc_len {np.mean(d['acc_len']):.2f}, "
+              f"spread {min(rates):.1f}-{max(rates):.1f}", flush=True)
+        if best is None or med > best[1]:
+            best = (gamma, med)
+    print(f"best: gamma={best[0]} {best[1]:.1f} tok/s = "
+          f"{best[1] / ar_tps:.2f}x AR", flush=True)
 
     if args.skip_serving:
         return
     from llmspeculativesampling_tpu.serve.paged import PagedEngine
-
-    eng = PagedEngine(
-        bd, pd, bt, pt, batch_rows=8, num_blocks=32, page=128,
-        max_pages_per_req=4, max_new_cap=128, gamma=args.gamma,
-        eos_token_id=2, top_k=20, top_p=0.9, prompt_bucket=64,
-        kv_quant=True, steps_per_sync=4,
+    from llmspeculativesampling_tpu.serve.scheduler import (
+        ContinuousBatchingEngine,
     )
-    eng.warmup(prompt_lens=(64,))
+
     reqs = [rng.integers(100, 50000, 64).astype(np.int32)
             for _ in range(args.serve_requests)]
-    t0 = time.perf_counter()
-    rids = [eng.submit(p, 96) for p in reqs]
-    eng.run_until_idle()
-    wall = time.perf_counter() - t0
-    toks = ttfts = 0
-    for rid in rids:
-        c = eng.result(rid)
-        toks += c.details["tokens_generated"]
-        ttfts += c.details["ttft_s"]
-    print(f"paged serving (8 rows, int8 pool): {toks / wall:.1f} tok/s "
-          f"aggregate, ttft mean {ttfts / len(rids) * 1e3:.0f} ms", flush=True)
+    eng = PagedEngine(
+        bd, pd, bt, pt, batch_rows=8, num_blocks=32, page=128,
+        max_pages_per_req=4, max_new_cap=128, gamma=args.serve_gamma,
+        eos_token_id=2, top_k=20, top_p=0.9, prompt_bucket=64,
+        kv_quant=True, steps_per_sync=8,
+    )
+    eng.warmup(prompt_lens=(64,))
+    _serve(eng, reqs, 96, "paged   (8 rows, 32x128 int8 pool)")
+    del eng
+
+    if not args.skip_slotted:
+        import dataclasses
+
+        bt_q = dataclasses.replace(bt, kv_quant=True)  # int8 slot caches
+        slotted = ContinuousBatchingEngine(
+            bd, pd, bt_q, pt, num_slots=8, max_total_len=512, max_new_cap=128,
+            gamma=args.serve_gamma, eos_token_id=2, top_k=20, top_p=0.9,
+            steps_per_sync=8,
+        )
+        slotted.warmup(prompt_len=64)
+        _serve(slotted, reqs, 96, "slotted (8 slots x 512, int8 KV)")
 
 
 if __name__ == "__main__":

@@ -225,7 +225,7 @@ def main():
         r = _run(paged, reqs, prompts)
         if agam:
             st = paged.adaptive_stats()
-            print(f"adaptive gamma settled on {paged.gamma} "
+            print(f"adaptive gamma settled on {st['incumbent']} "
                   f"(mode={st['mode']}, acc EMA {paged._acc_ema:.3f}, "
                   f"epochs={st['epochs']}, "
                   f"epoch_rates={ {g: round(r, 1) for g, r in st['epoch_rates'].items()} })",

@@ -254,3 +254,37 @@ def test_small_draft_pair_embeds_draft_exactly():
     ct2 = init_cache(bt2.cfg.num_layers, 1, bt2.cfg.num_kv_heads, 64, bt2.cfg.head_dim)
     lt2, _ = bt2.forward(pt2, bt2.cfg, toks, ct2)
     assert float(jnp.max(jnp.abs(lt2 - lt))) > 1e-3
+
+
+def test_opt_small_draft_pair_replicates_exactly():
+    """synthetic_opt_pair_int8_small_draft carries the narrow draft's
+    state replicated r times at 1/r scale — the construction that makes
+    LayerNorm (mean subtraction + bias, which breaks the llama pair's
+    zero-pad embedding) exactly replication-equivariant. At damp=0 the
+    target's output distribution must equal the draft's up to bf16 noise;
+    damping the deeper layers must then move the target."""
+    from llmspeculativesampling_tpu.cache.kvcache import init_cache
+    from llmspeculativesampling_tpu.core.synthetic import (
+        synthetic_opt_pair_int8_small_draft,
+    )
+
+    kw = dict(hidden_size=64, ffn_dim=128, num_layers=4, num_heads=8,
+              vocab_size=97, draft_hidden=16, draft_ffn=32, draft_layers=2,
+              max_position=128)
+    bd, pd, bt, pt = synthetic_opt_pair_int8_small_draft(damp=0.0, **kw)
+    assert bd.cfg.hidden_size == 16 and bt.cfg.hidden_size == 64
+    assert bd.cfg.head_dim == bt.cfg.head_dim  # head groups must repeat
+
+    toks = jnp.arange(3, 13)[None]
+    cd = init_cache(bd.cfg.num_layers, 1, bd.cfg.num_kv_heads, 64, bd.cfg.head_dim)
+    ct = init_cache(bt.cfg.num_layers, 1, bt.cfg.num_kv_heads, 64, bt.cfg.head_dim)
+    ld_, _ = bd.forward(pd, bd.cfg, toks, cd)
+    lt, _ = bt.forward(pt, bt.cfg, toks, ct)
+    p_d = jax.nn.softmax(ld_[0, -1])
+    p_t = jax.nn.softmax(lt[0, -1])
+    assert float(jnp.max(jnp.abs(p_d - p_t))) < 5e-3
+
+    _, _, bt2, pt2 = synthetic_opt_pair_int8_small_draft(damp=0.05, **kw)
+    ct2 = init_cache(bt2.cfg.num_layers, 1, bt2.cfg.num_kv_heads, 64, bt2.cfg.head_dim)
+    lt2, _ = bt2.forward(pt2, bt2.cfg, toks, ct2)
+    assert float(jnp.max(jnp.abs(lt2 - lt))) > 1e-3
