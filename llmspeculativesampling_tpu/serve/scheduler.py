@@ -134,12 +134,46 @@ def _batched_spec_step(
     # _paged_chunk_body for the measured overshoot cost)
     _, spec = jax.lax.while_loop(
         cond, chunk_step, (jnp.zeros((), jnp.int32), state.spec))
-    # Scheduling metadata packed into one fresh int32 array. The caller's
-    # pipelined loop keeps it alive across the NEXT dispatch, which
-    # donates the state — a structurally distinct array cannot alias the
-    # donated buffers, so the deferred host read stays valid.
-    meta = jnp.concatenate([spec.cur_len, spec.done.astype(jnp.int32)])
-    return BatchState(spec, state.active, state.target_len), meta
+    return BatchState(spec, state.active, state.target_len), _pack_slot_meta(spec)
+
+
+def _pack_slot_meta(spec: SpecState) -> jax.Array:
+    """Pack scheduling metadata AND the full harvest payload into one
+    flat int32 vector (f32 bitcast), per-slot blocks in field order.
+    Fresh buffer via concatenate — cannot alias the donated state, so
+    the pipelined async host copy survives the next dispatch. Shipping
+    the harvest data here makes ``_harvest`` zero-fetch: fetching
+    ``self.state`` at harvest time blocks on the IN-FLIGHT chunk's
+    pending output whenever slot completions stagger across chunks
+    (measured ~850 ms stalls per harvest on the paged engine — see
+    serve/paged.py::_pack_chunk_meta for the full story).
+    Layout: [cur_len S | done S | steps S | accepted S | resamples S |
+    bonus S | acc_rate_sum(bitcast) S | acc_len_hist S*h | tokens S*t]"""
+    f = lambda x: x.astype(jnp.int32).reshape(-1)
+    return jnp.concatenate([
+        f(spec.cur_len), f(spec.done), f(spec.steps), f(spec.accepted),
+        f(spec.resamples), f(spec.bonus),
+        jax.lax.bitcast_convert_type(
+            spec.acc_rate_sum.astype(jnp.float32), jnp.int32).reshape(-1),
+        f(spec.acc_len_hist), f(spec.tokens),
+    ])
+
+
+def _unpack_slot_meta(pack: np.ndarray, s: int, h: int, t: int) -> dict:
+    o = 0
+
+    def take(n, shape=None):
+        nonlocal o
+        out = pack[o : o + n]
+        o += n
+        return out.reshape(shape) if shape else out
+
+    return {
+        "cur_len": take(s), "done": take(s).astype(bool), "steps": take(s),
+        "accepted": take(s), "resamples": take(s), "bonus": take(s),
+        "acc_rate_sum": take(s).view(np.float32),
+        "acc_len_hist": take(s * h, (s, h)), "tokens": take(s * t, (s, t)),
+    }
 
 
 @partial(jax.jit, static_argnames=("bundle_d", "bundle_t"), donate_argnames=("state",))
@@ -480,12 +514,15 @@ class ContinuousBatchingEngine:
                 self._slot_gen[slot] += 1
 
     def _collect(self, meta):
-        # one transfer for the scheduling metadata, not one per field.
-        # ``meta`` is the step's packed [cur_len | done] output — read it,
-        # not state.spec, whose buffers the next dispatch will donate away.
-        m = np.asarray(host_fetch(meta))
-        s = self.num_slots
-        self._harvest(m[s:].astype(bool), m[:s], tuple(self._slot_gen))
+        # one transfer for the packed metadata+harvest vector, not one
+        # per field — and never state.spec, whose buffers the next
+        # dispatch donates away (and whose fetch would block on the
+        # in-flight chunk).
+        m = _unpack_slot_meta(
+            np.asarray(host_fetch(meta)), self.num_slots, self.max_new_cap,
+            self.max_total_len)
+        self._last_harvest = m
+        self._harvest(m["done"], m["cur_len"], tuple(self._slot_gen))
 
     def _harvest(self, done: np.ndarray, cur_len: np.ndarray, gens: tuple):
         """Harvest finished slots given (possibly one-chunk-stale) metadata.
@@ -498,13 +535,13 @@ class ContinuousBatchingEngine:
                if r is not None and done[s] and gens[s] == self._slot_gen[s]]
         if not fin:
             return
-        # one fixed-shape transfer for all result lanes (a few 10s of KB):
-        # shape-varying gathers would each compile a fresh tiny program,
-        # which is seconds per shape on a remote-compile backend.
-        toks_f, steps_f, hist_f, accr_f, acc_f, res_f, bon_f = host_fetch((
-            spec.tokens, spec.steps, spec.acc_len_hist, spec.acc_rate_sum,
-            spec.accepted, spec.resamples, spec.bonus,
-        ))
+        # zero-fetch: all result lanes ride the chunk's own packed
+        # metadata (see _pack_slot_meta)
+        hv = self._last_harvest
+        toks_f, steps_f, hist_f, accr_f, acc_f, res_f, bon_f = (
+            hv["tokens"], hv["steps"], hv["acc_len_hist"],
+            hv["acc_rate_sum"], hv["accepted"], hv["resamples"], hv["bonus"],
+        )
         for slot in fin:
             i = slot
             req = self._slot_req[slot]
@@ -577,9 +614,11 @@ class ContinuousBatchingEngine:
             else:
                 new_inflight = None
             if inflight is not None:
-                m = np.asarray(host_fetch(inflight[0]))
-                s = self.num_slots
-                self._harvest(m[s:].astype(bool), m[:s], inflight[1])
+                m = _unpack_slot_meta(
+                    np.asarray(host_fetch(inflight[0])), self.num_slots,
+                    self.max_new_cap, self.max_total_len)
+                self._last_harvest = m
+                self._harvest(m["done"], m["cur_len"], inflight[1])
             inflight = new_inflight
             if not dispatched and inflight is None and not self._pending \
                     and not self.num_active:
