@@ -304,7 +304,15 @@ def synthetic_opt_pair_int8_small_draft(
     draft_ffn: int = 2560,
     draft_layers: int = 2,
     max_position: int = 2048,
-    damp: float = 0.008,
+    damp: float = 0.65,  # measured damp -> acceptance on chip (gamma=8):
+                         # 0.5 -> 0.93, 0.55 -> 0.92, 0.65 -> 0.90,
+                         # 0.8 -> 0.79, 1.0 -> 0.60; default matches the
+                         # llama headline pair's 0.88 class. The scale
+                         # differs from the llama pair's damp because
+                         # the tiled head reads only the replication-
+                         # symmetric stream component, attenuating the
+                         # deep layers' isotropic perturbations r-fold
+                         # in variance — damp compensates.
     embed_std: float = 0.5,
     seed: int = 3,
 ):

@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--gammas", default="8,16,24",
                     help="speculative depth sweep (best is reported)")
     ap.add_argument("--draft", choices=["small", "fat"], default="small")
+    ap.add_argument("--damp", type=float, default=None,
+                    help="override the small draft's acceptance knob "
+                         "(default 0.65 -> acc ~0.90; 0.8 -> ~0.79)")
     ap.add_argument("--serve_requests", type=int, default=24)
     ap.add_argument("--serve_gamma", type=int, default=8)
     ap.add_argument("--skip_serving", action="store_true")
@@ -62,7 +65,8 @@ def main():
 
     print("device:", jax.devices()[0].device_kind, flush=True)
     if args.draft == "small":
-        bd, pd, bt, pt = synthetic_opt_pair_int8_small_draft()
+        kw_pair = {} if args.damp is None else {"damp": args.damp}
+        bd, pd, bt, pt = synthetic_opt_pair_int8_small_draft(**kw_pair)
     else:
         bd, pd, bt, pt = synthetic_opt_pair_int8()
     print(f"draft: {args.draft} (hidden {bd.cfg.hidden_size}, "
