@@ -22,9 +22,9 @@ import numpy as np
 import jax
 
 
-def _serve(eng, reqs, max_new, label):
+def _serve(eng, reqs, label):
     t0 = time.perf_counter()
-    rids = [eng.submit(p, max_new) for p in reqs]
+    rids = [eng.submit(p, mn) for p, mn in reqs]
     eng.run_until_idle()
     wall = time.perf_counter() - t0
     toks, ttfts, lats = 0, [], []
@@ -51,6 +51,9 @@ def main():
                          "(default 0.65 -> acc ~0.90; 0.8 -> ~0.79)")
     ap.add_argument("--serve_requests", type=int, default=24)
     ap.add_argument("--serve_gamma", type=int, default=8)
+    ap.add_argument("--mixed", action="store_true",
+                    help="serving workload: 18 short chats + 6 512-token "
+                         "long-context requests (paged engine only)")
     ap.add_argument("--skip_serving", action="store_true")
     ap.add_argument("--skip_slotted", action="store_true",
                     help="paged-only serving (slotted needs a second "
@@ -115,19 +118,38 @@ def main():
         ContinuousBatchingEngine,
     )
 
-    reqs = [rng.integers(100, 50000, 64).astype(np.int32)
-            for _ in range(args.serve_requests)]
+    if args.mixed:
+        # 18 short chats + 6 long-context, interleaved (the llama table's
+        # workload-mix shape, docs/PERFORMANCE.md paged section)
+        short = [(rng.integers(100, 50000, 64).astype(np.int32), 96)
+                 for _ in range(18)]
+        long_ = [(rng.integers(100, 50000, 512).astype(np.int32), 128)
+                 for _ in range(6)]
+        reqs = []
+        si = li = 0
+        for i in range(24):
+            if i % 4 == 3 and li < 6:
+                reqs.append(long_[li]); li += 1
+            else:
+                reqs.append(short[si]); si += 1
+    else:
+        reqs = [(rng.integers(100, 50000, 64).astype(np.int32), 96)
+                for _ in range(args.serve_requests)]
+    max_new_max = max(mn for _, mn in reqs)
+    worst = max(len(p) + mn for p, mn in reqs) + args.serve_gamma + 1
     eng = PagedEngine(
-        bd, pd, bt, pt, batch_rows=8, num_blocks=32, page=128,
-        max_pages_per_req=4, max_new_cap=128, gamma=args.serve_gamma,
+        bd, pd, bt, pt, batch_rows=8, num_blocks=48 if args.mixed else 32,
+        page=128, max_pages_per_req=-(-worst // 128), max_new_cap=max_new_max,
+        gamma=args.serve_gamma,
         eos_token_id=2, top_k=20, top_p=0.9, prompt_bucket=64,
         kv_quant=True, steps_per_sync=8,
     )
-    eng.warmup(prompt_lens=(64,))
-    _serve(eng, reqs, 96, "paged   (8 rows, 32x128 int8 pool)")
+    eng.warmup(prompt_lens=sorted({len(p) for p, _ in reqs}))
+    _serve(eng, reqs,
+           f"paged   ({'mixed, ' if args.mixed else ''}8 rows, int8 pool)")
     del eng
 
-    if not args.skip_slotted:
+    if not args.skip_slotted and not args.mixed:
         import dataclasses
 
         bt_q = dataclasses.replace(bt, kv_quant=True)  # int8 slot caches
@@ -137,7 +159,7 @@ def main():
             steps_per_sync=8,
         )
         slotted.warmup(prompt_len=64)
-        _serve(slotted, reqs, 96, "slotted (8 slots x 512, int8 KV)")
+        _serve(slotted, reqs, "slotted (8 slots x 512, int8 KV)")
 
 
 if __name__ == "__main__":
