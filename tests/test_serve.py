@@ -287,3 +287,27 @@ def test_streaming_on_slotted_engine():
         assert st["requests"] == 1 and st["ttft_p50_s"] is not None
     finally:
         srv.shutdown()
+
+
+def test_streaming_fallback_on_plain_server():
+    """Without a batching engine the SSE route degrades to one final
+    chunk + done (the lock-serialized path has no incremental state)."""
+    srv = _tiny_server()
+    httpd = make_http_server(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        body = json.dumps({"prompt_ids": list(range(10, 26)),
+                           "max_tokens": 8, "stream": True})
+        conn.request("POST", "/predict", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.getheader("Content-Type") == "text/event-stream"
+        events = [json.loads(l[6:]) for l in resp.read().decode().splitlines()
+                  if l.startswith("data: ")]
+        assert events[-1] == {"done": True}
+        assert len(events) == 2 and len(events[0]["token_ids"]) >= 16 + 8
+    finally:
+        httpd.shutdown()
