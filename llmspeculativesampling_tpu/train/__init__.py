@@ -12,6 +12,7 @@ from weight-sharing tricks.
 
 from .tiny import (
     build_repo_corpus,
+    pinned_corpus,
     sample_batches,
     train_lm,
     train_tiny_pair,
@@ -19,6 +20,7 @@ from .tiny import (
 
 __all__ = [
     "build_repo_corpus",
+    "pinned_corpus",
     "sample_batches",
     "train_lm",
     "train_tiny_pair",

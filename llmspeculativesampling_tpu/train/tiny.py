@@ -37,6 +37,25 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 _CORPUS_GLOBS = ("SURVEY.md", "README.md", "BASELINE.md", "docs", "llmspeculativesampling_tpu")
 _CORPUS_EXTS = (".md", ".py")
 
+# Frozen snapshot of the corpus, committed next to this file. The live
+# repo text drifts with every doc edit, which perturbs the trained pair
+# and made the quality-parity gate noise-dominated (VERDICT r4 weak #1);
+# everything that anchors a published number trains on THIS snapshot.
+_SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "corpus_snapshot.bin.gz")
+
+
+def pinned_corpus() -> np.ndarray:
+    """The frozen byte corpus every published trained-pair number uses.
+
+    Committed as ``train/corpus_snapshot.bin.gz`` (594 KB of repo text,
+    gzipped); regenerate explicitly via ``build_repo_corpus`` only when
+    you intend to re-anchor the published measurements.
+    """
+    import gzip
+
+    with gzip.open(_SNAPSHOT, "rb") as fh:
+        return np.frombuffer(fh.read(), np.uint8)
+
 
 def build_repo_corpus(max_bytes: int = 1 << 22, root: Optional[str] = None) -> np.ndarray:
     """Byte-level corpus (uint8 [N]) from the repo's own text.
@@ -170,8 +189,11 @@ def train_tiny_pair(
     comes only from both having learned the corpus, exactly like the
     reference's published pairs and unlike ``core.synthetic``'s damped
     weight-sharing constructions.
+
+    ``corpus`` defaults to the frozen :func:`pinned_corpus` snapshot so
+    the trained pair is bit-stable across doc edits.
     """
-    corpus = corpus if corpus is not None else build_repo_corpus()
+    corpus = corpus if corpus is not None else pinned_corpus()
     cfg_t = _byte_cfg(target_hidden, target_layers, heads, max_position)
     cfg_d = _byte_cfg(draft_hidden, draft_layers, heads, max_position)
     params_t, loss_t = train_lm(

@@ -13,7 +13,12 @@ repo corpus ON THE TPU, then measures the three numbers BASELINE.md's
     ROUGE-1/2/L of generated continuations against the true corpus
     continuation for both weight formats.
 
-Usage: python scripts/exp_trained_pair.py [--steps 2000] [--prompts 20]
+Round 5: trains on the FROZEN corpus snapshot (train/corpus_snapshot.bin.gz)
+so the measurement is reproducible across doc edits, and the get_score
+parity number ships as a PAIRED bootstrap CI (per-prompt spec−AR deltas,
+95% percentile bootstrap) instead of a point delta.
+
+Usage: python scripts/exp_trained_pair.py [--steps 2000] [--prompts 64]
 Prints one JSON dict. Single TPU process (axon serializes clients).
 """
 
@@ -31,7 +36,7 @@ import jax
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
-    ap.add_argument("--prompts", type=int, default=20)
+    ap.add_argument("--prompts", type=int, default=64)
     ap.add_argument("--max_new", type=int, default=64)
     ap.add_argument("--seq_len", type=int, default=256)
     args = ap.parse_args()
@@ -42,10 +47,10 @@ def main():
     from llmspeculativesampling_tpu.evalx.metrics import get_score, rouge
     from llmspeculativesampling_tpu.models import llama
     from llmspeculativesampling_tpu.quant import quantize_params
-    from llmspeculativesampling_tpu.train import build_repo_corpus, train_tiny_pair
+    from llmspeculativesampling_tpu.train import pinned_corpus, train_tiny_pair
 
     print("devices:", jax.devices(), file=sys.stderr)
-    corpus = build_repo_corpus()
+    corpus = pinned_corpus()
     t0 = time.time()
     bd, pd, bt, pt, info = train_tiny_pair(
         target_hidden=256, target_layers=4, draft_hidden=128, draft_layers=2,
@@ -80,7 +85,7 @@ def main():
             outs.append(bytes(o[plen:].astype(np.uint8)).decode("latin-1"))
             scores.append(get_score(bt, pt, o, plen))  # fp32 target judges
         r = rouge(outs, true_cont)
-        return {
+        return scores, {
             f"acc_{tag}": round(float(np.mean(accs)), 4),
             f"score_{tag}": round(float(np.mean(scores)), 4),
             f"rouge1_{tag}": round(r["rouge1"], 4),
@@ -88,12 +93,19 @@ def main():
             f"rougeL_{tag}": round(r["rougeL"], 4),
         }
 
+    def bootstrap_ci(deltas, n_boot=4000, seed=0):
+        rng = np.random.default_rng(seed)
+        n = deltas.size
+        means = np.array([deltas[rng.integers(0, n, n)].mean() for _ in range(n_boot)])
+        return float(np.percentile(means, 2.5)), float(np.percentile(means, 97.5))
+
     res = {"train_wall_s": round(train_wall, 1),
            "target_loss": info["target_loss"][-1][1],
            "draft_loss": info["draft_loss"][-1][1],
            "corpus_bytes": info["corpus_bytes"],
            "n_prompts": args.prompts, "max_new": args.max_new}
-    res.update(run_pair(bt, pt, "fp32"))
+    spec_scores, block = run_pair(bt, pt, "fp32")
+    res.update(block)
 
     ar_scores = []
     for i, p in enumerate(prompts):
@@ -103,11 +115,18 @@ def main():
         )
         ar_scores.append(get_score(bt, pt, np.asarray(out), plen))
     res["score_ar"] = round(float(np.mean(ar_scores)), 4)
-    res["score_parity_delta"] = round(abs(res["score_fp32"] - res["score_ar"]), 4)
+    # paired per-prompt deltas (same prompt for spec and AR) + bootstrap CI:
+    # the published parity claim is this CI, not the point delta.
+    deltas = np.asarray(spec_scores) - np.asarray(ar_scores)
+    lo, hi = bootstrap_ci(deltas)
+    res["score_parity_delta"] = round(float(deltas.mean()), 4)
+    res["score_parity_se"] = round(float(deltas.std(ddof=1) / np.sqrt(deltas.size)), 4)
+    res["score_parity_ci95"] = [round(lo, 4), round(hi, 4)]
 
     qt = quantize_params(pt, "llama")
     bt_q = ModelBundle("llama", bt.cfg, llama.forward)
-    res.update(run_pair(bt_q, qt, "int8"))
+    _, block_q = run_pair(bt_q, qt, "int8")
+    res.update(block_q)
     res["acc_delta_int8"] = round(res["acc_int8"] - res["acc_fp32"], 4)
     res["score_delta_int8"] = round(res["score_int8"] - res["score_fp32"], 4)
     print(json.dumps(res))
