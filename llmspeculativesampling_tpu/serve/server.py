@@ -215,6 +215,11 @@ class BatchedInferenceServer:
             )
         self._cv = threading.Condition()
         self._results: dict = {}
+        # rids whose client went away mid-stream: their completion (which
+        # may arrive many steps later) is discarded instead of parking in
+        # _results forever (ADVICE r4: unbounded growth on long-running
+        # servers)
+        self._abandoned: set = set()
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -229,7 +234,11 @@ class BatchedInferenceServer:
                 self.engine.step()
                 if self.engine.completions:
                     for rid in list(self.engine.completions):
-                        self._results[rid] = self.engine.result(rid)
+                        comp = self.engine.result(rid)
+                        if rid in self._abandoned:
+                            self._abandoned.discard(rid)
+                        else:
+                            self._results[rid] = comp
                 # wake after every step (not only on completions):
                 # streaming requests poll partial_result between steps
                 self._cv.notify_all()
@@ -283,40 +292,57 @@ class BatchedInferenceServer:
         num_tokens = int(request.get("max_tokens", c.num_tokens))
         t0 = time.perf_counter()
         sent = len(ids)
-        with self._cv:
-            rid = self.engine.submit(ids, num_tokens)
-            self._cv.notify_all()
-            while True:
-                if rid in self._results:
-                    comp = self._results.pop(rid)
-                    break
-                part = self.engine.partial_result(rid)
-                if part is not None and len(part) > sent:
-                    chunk = np.asarray(part[sent:])
-                    # committed-but-not-yet-truncated tokens can trail
-                    # the EOS; cut the stream there (harvest will
-                    # truncate output_ids the same way)
-                    eos_at = np.nonzero(chunk == c.eos_token_id)[0]
-                    if eos_at.size:
-                        chunk = chunk[: int(eos_at[0]) + 1]
-                    sent += len(chunk)
-                    # release the lock while the consumer writes
-                    self._cv.release()
-                    try:
-                        yield chunk
-                    finally:
-                        self._cv.acquire()
-                    if eos_at.size:
-                        while rid not in self._results:
-                            self._cv.wait(timeout=0.05)
-                    continue
-                self._cv.wait(timeout=0.05)
-        out = np.asarray(comp.output_ids)
-        if len(out) > sent:
-            yield out[sent:]
-        self.stats.record(comp.details["tokens_generated"],
-                          time.perf_counter() - t0,
-                          ttft_s=comp.details.get("ttft_s"))
+        rid = None
+        comp = None
+        try:
+            with self._cv:
+                rid = self.engine.submit(ids, num_tokens)
+                self._cv.notify_all()
+                while True:
+                    if rid in self._results:
+                        comp = self._results.pop(rid)
+                        break
+                    part = self.engine.partial_result(rid)
+                    if part is not None and len(part) > sent:
+                        chunk = np.asarray(part[sent:])
+                        # committed-but-not-yet-truncated tokens can trail
+                        # the EOS; cut the stream there (harvest will
+                        # truncate output_ids the same way)
+                        eos_at = np.nonzero(chunk == c.eos_token_id)[0]
+                        if eos_at.size:
+                            chunk = chunk[: int(eos_at[0]) + 1]
+                        sent += len(chunk)
+                        # release the lock while the consumer writes
+                        self._cv.release()
+                        try:
+                            yield chunk
+                        finally:
+                            self._cv.acquire()
+                        if eos_at.size:
+                            while rid not in self._results:
+                                self._cv.wait(timeout=0.05)
+                        continue
+                    self._cv.wait(timeout=0.05)
+            out = np.asarray(comp.output_ids)
+            if len(out) > sent:
+                yield out[sent:]
+        finally:
+            # client disconnect closes the generator at a yield: still
+            # account the request and make sure its completion doesn't
+            # park in _results forever (ADVICE r4)
+            if comp is not None:
+                self.stats.record(comp.details["tokens_generated"],
+                                  time.perf_counter() - t0,
+                                  ttft_s=comp.details.get("ttft_s"))
+            elif rid is not None:
+                with self._cv:
+                    if rid in self._results:
+                        comp = self._results.pop(rid)
+                        self.stats.record(comp.details["tokens_generated"],
+                                          time.perf_counter() - t0,
+                                          ttft_s=comp.details.get("ttft_s"))
+                    else:
+                        self._abandoned.add(rid)
 
 
 def make_http_server(server, host: str = "0.0.0.0",
@@ -379,20 +405,36 @@ def make_http_server(server, host: str = "0.0.0.0",
                 self.wfile.flush()
 
             tok = getattr(server, "tokenizer", None)
-            if hasattr(server, "process_request_stream"):
-                for chunk in server.process_request_stream(req):
-                    ev = {"token_ids": np.asarray(chunk).tolist()}
-                    if tok is not None:
-                        ev["text"] = tok.decode(ev["token_ids"],
-                                                skip_special_tokens=True)
+            try:
+                if hasattr(server, "process_request_stream"):
+                    # decode cumulatively and emit the text SUFFIX per
+                    # event: BPE/byte-level tokenizers produce wrong text
+                    # when chunks are decoded in isolation (split
+                    # multi-byte chars, leading-space markers; ADVICE r4)
+                    all_ids: list = []
+                    prev_text = ""
+                    for chunk in server.process_request_stream(req):
+                        ev = {"token_ids": np.asarray(chunk).tolist()}
+                        if tok is not None:
+                            all_ids.extend(ev["token_ids"])
+                            full = tok.decode(all_ids, skip_special_tokens=True)
+                            ev["text"] = full[len(prev_text):]
+                            prev_text = full
+                        emit(ev)
+                else:
+                    text, ids = server.process_request(req)
+                    ev = {"token_ids": np.asarray(ids).tolist()}
+                    if text is not None:
+                        ev["text"] = text
                     emit(ev)
-            else:
-                text, ids = server.process_request(req)
-                ev = {"token_ids": np.asarray(ids).tolist()}
-                if text is not None:
-                    ev["text"] = text
-                emit(ev)
-            emit({"done": True})
+                emit({"done": True})
+            except Exception as e:  # noqa: BLE001 — headers already sent;
+                # a late _send(500) would corrupt the SSE stream (ADVICE
+                # r4), so surface the failure as a terminal event instead
+                try:
+                    emit({"error": str(e), "done": True})
+                except OSError:
+                    pass  # client already gone
 
     return ThreadingHTTPServer((host, port), Handler)
 

@@ -289,6 +289,72 @@ def test_streaming_on_slotted_engine():
         srv.shutdown()
 
 
+class _SpacedTok:
+    """Fake tokenizer whose decode is context-dependent (like BPE
+    leading-space markers): tokens join with spaces, so decoding a chunk
+    in isolation loses the separator a cumulative decode would emit."""
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(i) for i in ids)
+
+
+def test_sse_text_is_cumulative_suffix_decode():
+    """ADVICE r4: SSE events must carry the SUFFIX of a cumulative
+    decode, not per-chunk isolated decodes — concatenating the streamed
+    text must reproduce the full decode exactly."""
+    base = _tiny_server()
+    base.config.eos_token_id = -1
+    base.tokenizer = _SpacedTok()
+    srv = BatchedInferenceServer(base, num_slots=2, max_total_len=256)
+    httpd = make_http_server(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        body = json.dumps({"prompt_ids": list(range(10, 26)),
+                           "max_tokens": 16, "stream": True})
+        conn.request("POST", "/predict", body,
+                     {"Content-Type": "application/json"})
+        events = [json.loads(l[6:])
+                  for l in conn.getresponse().read().decode().splitlines()
+                  if l.startswith("data: ")]
+        assert events[-1] == {"done": True}
+        toks = [t for e in events[:-1] for t in e["token_ids"]]
+        text = "".join(e["text"] for e in events[:-1])
+        assert text == _SpacedTok().decode(toks), (text, toks)
+    finally:
+        httpd.shutdown()
+        srv.shutdown()
+
+
+def test_stream_disconnect_does_not_leak_results():
+    """ADVICE r4: a client that disappears mid-stream must not leave the
+    finished request's Completion parked in _results forever."""
+    import time
+
+    base = _tiny_server()
+    base.config.eos_token_id = -1
+    srv = BatchedInferenceServer(base, num_slots=2, max_total_len=256)
+    try:
+        gen = srv.process_request_stream(
+            {"prompt_ids": list(range(10, 26)), "max_tokens": 24})
+        next(gen)        # first chunk arrives...
+        gen.close()      # ...then the client goes away
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            with srv._cv:
+                idle = (not srv.engine._pending
+                        and srv.engine.num_active == 0
+                        and not srv._results and not srv._abandoned)
+            if idle:
+                break
+            time.sleep(0.05)
+        assert not srv._results, srv._results
+        assert not srv._abandoned
+    finally:
+        srv.shutdown()
+
+
 def test_streaming_fallback_on_plain_server():
     """Without a batching engine the SSE route degrades to one final
     chunk + done (the lock-serialized path has no incremental state)."""
