@@ -678,6 +678,23 @@ class PagedEngine:
         # (~380 tok/s where the stable incumbent serves ~600)
         self._ep_hysteresis = 1.12
         self._ep_incumbent = None
+        # round-5 exploration-tax cut (VERDICT r4 ask #3): the ramp epoch
+        # ROTATES gamma per chunk across all arms (gamma is batch-global,
+        # so every row advances together and the completion wave stays
+        # synchronized — rotation is free), collecting a per-chunk
+        # committed-rate prior for every arm during the wave the engine
+        # must serve anyway. Rotation then settles on the prior-best arm
+        # so the ramp->explore transition lands on it without an
+        # arm-switch resync. Full-epoch exploration afterwards is limited
+        # to PLAUSIBLE contenders: arms whose chunk rate is within
+        # 1/1.4 of the prior best (the chunk-vs-epoch misranking measured
+        # in round 3 is a turnover effect of ~30%, not 2x — an arm 40%
+        # behind on chunks cannot win the epoch comparison). Implausible
+        # arms still get real epoch measurements eventually via the lazy
+        # reprobe cycle.
+        self._ramp_chunks = 0
+        self._ramp_rotations = 2      # full cycles through the arms
+        self._ep_plausibility = 1.4
         self._best_wall_pc = None     # best observed wall per completion
         self._ep_history = []         # per-epoch observability records
         self._resync = False          # one-shot admission re-sync flag
@@ -834,21 +851,6 @@ class PagedEngine:
                 self.gamma = g
                 rids.append(self.submit(rng.integers(2, 100, size=8), 2))
                 self.run_until_idle()
-            self._arm_rate.clear()
-            self._arm_visits = {}
-            self._chunk_count = 0
-            self._acc_ema = None
-            self._ep_rate.clear()
-            self._ep_phase = "ramp"
-            self._ep_count = 0
-            self._best_wall_pc = None
-            self._ep_history = []
-            self._resync = False
-            self._ep_incumbent = None
-            self._epoch_reset()
-            self.gamma = (
-                self._gamma_choices[0] if self._ag_mode == "epoch"
-                else self._gamma_choices[len(self._gamma_choices) // 2])
         kbs = [kb for kb in (1, 2, 4, 8) if kb <= self.batch_rows] or [1]
         for p_len in prompt_lens:
             for kb in kbs:
@@ -865,6 +867,30 @@ class PagedEngine:
                     self.run_until_idle()
         for r in rids:
             self.completions.pop(r, None)
+        if self._gamma_choices:
+            # reset the controller AFTER all warmup traffic (ADVICE r4):
+            # the main prefill/decode waves above complete real requests,
+            # and a controller reset placed before them let those 2-token
+            # warmup completions close epochs — live traffic then started
+            # mid-'explore' on a non-ramp arm with garbage _ep_rate
+            # entries half-weighted into later exploit decisions
+            self._arm_rate.clear()
+            self._arm_visits = {}
+            self._chunk_count = 0
+            self._acc_ema = None
+            self._ep_rate.clear()
+            self._ep_phase = "ramp"
+            self._ep_count = 0
+            self._best_wall_pc = None
+            self._ep_history = []
+            self._resync = False
+            self._ep_incumbent = None
+            self._ramp_chunks = 0
+            self._epoch_reset()
+            self._last_fetch_t = None
+            self.gamma = (
+                self._gamma_choices[0] if self._ag_mode == "epoch"
+                else self._gamma_choices[len(self._gamma_choices) // 2])
         # warmup must not shift live traffic's rid sequence: per-request
         # PRNG is fold_in(admit_key, rid), so a shifted numbering changes
         # every request's acceptance draws — measured to de-synchronize
@@ -1123,7 +1149,14 @@ class PagedEngine:
                 "prefix_cached_tokens": req.cached_len,
             }
             self.completions[req.rid] = Completion(req.rid, out, p_len, details)
-            if self._gamma_choices and self._ag_mode == "epoch":
+            # _resync: the drain after an arm switch belongs to the OLD
+            # arm; accumulating it would charge the drain to the NEW
+            # arm's epoch (ADVICE r4 — the same '634 read as 499'
+            # poisoning _resync exists to avoid). _admit zeroes the
+            # counters anyway when the hold clears; skipping here also
+            # keeps _epoch_tick from closing an epoch mid-drain.
+            if (self._gamma_choices and self._ag_mode == "epoch"
+                    and not self._resync):
                 self._ep_tokens += details["tokens_generated"]
                 self._ep_completions += 1
             self._allocs[row // self._rows_local].free(self._row_blocks[row])
@@ -1145,6 +1178,18 @@ class PagedEngine:
             # the ramp epoch's wall ~4x, poisoning both its recorded rate
             # and the wall-cap pace derived from it
             self._ep_start = time.perf_counter()
+        if (self._gamma_choices and self._ag_mode == "epoch"
+                and self._ep_phase == "ramp"):
+            # ramp rotation (see __init__): cycle the arms for the first
+            # _ramp_rotations passes, then settle on the chunk-prior best
+            arms = self._gamma_choices
+            k = self._ramp_chunks
+            self._ramp_chunks = k + 1
+            if k < self._ramp_rotations * len(arms):
+                self.gamma = arms[k % len(arms)]
+            else:
+                self.gamma = max(
+                    arms, key=lambda g: self._arm_rate.get(g, float("-inf")))
         self._chunk_log.append((self.gamma, max(self.num_active, 1)))
         if self._dp_fns is not None:
             if self._gamma_choices and self.gamma != self._dp_gamma:
@@ -1273,6 +1318,11 @@ class PagedEngine:
         tok/s where fixed gamma=4 serves 612 on the saturated bench)."""
         if not self._gamma_choices or self._ag_mode != "epoch":
             return
+        if self._resync:
+            # admission hold in force: completions are old-arm drain and
+            # are deliberately uncounted (_harvest) — a wall-cap closure
+            # here would credit the drain window to the new arm
+            return
         now = time.perf_counter()
         if self._ep_start is None:
             return  # no work dispatched yet (_dispatch_chunk opens it)
@@ -1285,37 +1335,53 @@ class PagedEngine:
         if self._ep_completions < self._ep_size and not capped:
             return
         rate = self._ep_tokens / max(wall, 1e-9)
+        ramp_mixed = self._ep_phase == "ramp"
         self._ep_history.append({
-            "gamma": self.gamma, "phase": self._ep_phase,
+            "gamma": "mixed" if ramp_mixed else self.gamma,
+            "phase": self._ep_phase,
             "completions": self._ep_completions,
             "wall_s": round(wall, 3),
             "tok_per_s": round(rate, 1),
             "capped": capped,
         })
-        # every epoch is recorded, including the ramp: its rate is biased
-        # a few % low by the cold pipeline, but the incumbent keeps being
-        # re-measured during exploit so the EMA washes that out
-        prev = self._ep_rate.get(self.gamma)
-        self._ep_rate[self.gamma] = (
-            rate if prev is None else 0.5 * prev + 0.5 * rate)
+        # every single-arm epoch is recorded: explore/probe rates are
+        # biased a few % low by arm-switch disruption, but the incumbent
+        # keeps being re-measured during exploit so the EMA washes that
+        # out. The ROTATED ramp epoch is arm-mixed and credits no arm —
+        # its yield is the per-chunk prior (_arm_rate) instead.
+        if not ramp_mixed:
+            prev = self._ep_rate.get(self.gamma)
+            self._ep_rate[self.gamma] = (
+                rate if prev is None else 0.5 * prev + 0.5 * rate)
         if not capped and self._ep_completions > 0:
             wpc = wall / self._ep_completions
             if self._best_wall_pc is None or wpc < self._best_wall_pc:
                 self._best_wall_pc = wpc
         self._ep_count += 1
-        # next arm: unexplored first (ordered by the per-chunk prior,
-        # best-looking first), then exploit the best epoch rate with a
-        # periodic runner-up probe so drifting workloads are tracked
+        # next arm: PLAUSIBLE unexplored arms first (ordered by the
+        # per-chunk prior, best-looking first — the prior covers every
+        # arm thanks to the rotated ramp), then exploit the best epoch
+        # rate with a periodic probe so drifting workloads are tracked.
+        # Arms >1.4x behind the prior best on chunk rate skip up-front
+        # epoch exploration (each such epoch + its resync drain costs a
+        # full wave); the reprobe cycle measures them lazily.
         prior = sorted(self._gamma_choices,
                        key=lambda g: self._arm_rate.get(g, float("-inf")),
                        reverse=True)
-        unexplored = [g for g in prior if g not in self._ep_rate]
+        best_chunk = self._arm_rate.get(prior[0])
+        def _plausible(g):
+            r = self._arm_rate.get(g)
+            return (r is None or best_chunk is None
+                    or r >= best_chunk / self._ep_plausibility)
+        unexplored = [g for g in prior
+                      if g not in self._ep_rate and _plausible(g)]
         prev_gamma = self.gamma
         if unexplored:
             self.gamma = unexplored[0]
             self._ep_phase = "explore"
         else:
-            ranked = sorted(self._gamma_choices,
+            ranked = sorted((g for g in self._gamma_choices
+                             if g in self._ep_rate),
                             key=lambda g: self._ep_rate[g], reverse=True)
             inc = self._ep_incumbent
             if inc not in self._gamma_choices or inc not in self._ep_rate:
@@ -1324,9 +1390,13 @@ class PagedEngine:
                   > self._ep_hysteresis * self._ep_rate[inc]):
                 inc = ranked[0]  # challenger demonstrably better
             self._ep_incumbent = inc
-            if (len(self._gamma_choices) > 1
-                    and self._ep_count % self._ep_reprobe_every == 0):
-                self.gamma = next(g for g in ranked if g != inc)
+            others = [g for g in prior if g != inc]
+            if others and self._ep_count % self._ep_reprobe_every == 0:
+                # cycle through ALL non-incumbent arms (including the
+                # implausibility-skipped ones) so every arm eventually
+                # gets a real epoch measurement
+                idx = (self._ep_count // self._ep_reprobe_every - 1) % len(others)
+                self.gamma = others[idx]
                 self._ep_phase = "probe"
             else:
                 self.gamma = inc

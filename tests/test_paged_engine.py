@@ -431,11 +431,13 @@ def test_adaptive_gamma_epoch_controller():
     boundaries, credited with completed-request throughput — the
     granularity at which request-turnover effects are visible (the
     round-3 chunk bandit structurally converged to the 2nd-best arm,
-    docs/PERFORMANCE.md). Drive the controller's host logic directly:
-    recorded ramp on the shallowest arm -> explore the remaining arms
-    (prior order) -> exploit the best epoch rate -> periodic runner-up
-    probe -> wall-capped abort of a stalling arm; chunk feedback must
-    NOT switch the arm."""
+    docs/PERFORMANCE.md). Round-5 warm-start semantics (VERDICT r4 #3):
+    the rotated ramp epoch closes as arm-MIXED (credits no arm, yields
+    the per-chunk prior instead), exploration is limited to PLAUSIBLE
+    contenders (chunk rate within 1/1.4 of the prior best), the
+    implausible arms are left to the lazy reprobe cycle. Drive the
+    controller's host logic directly; chunk feedback must NOT switch
+    the arm."""
     bd, pd, bt, pt = _make_pair()
     eng = PagedEngine(
         bd, pd, bt, pt, batch_rows=4, num_blocks=16, page=32,
@@ -448,15 +450,22 @@ def test_adaptive_gamma_epoch_controller():
     eng._update_gamma(acc_delta=20.0, step_delta=10.0, used_gamma=4, wall=1.0)
     assert eng.gamma == 2 and 4 in eng._arm_rate
 
+    # chunk prior as the rotated ramp would leave it: 4 best, 2 a
+    # plausible contender (50 >= 60/1.4), 8 implausible (20 < 60/1.4)
+    eng._arm_rate.update({2: 50.0, 4: 60.0, 8: 20.0})
+
     # simulated epoch throughput per arm: 2 -> 100 tok/s, 4 -> 60, 8 -> 30
-    rates = {2: 100.0, 4: 60.0, 8: 30.0}
+    rates = {2: 100.0, 4: 60.0, 8: 30.0, "mixed": 70.0}
 
     eng._row_req[0] = object()  # engine looks busy -> epochs open
 
     def run_epoch():
         import time as _t
 
-        arm = eng.gamma
+        # emulate the admission hold having drained + cleared (the real
+        # clear happens in _admit when a full wave of rows frees)
+        eng._resync = False
+        arm = eng.gamma if eng._ep_phase != "ramp" else "mixed"
         eng._ep_start = _t.perf_counter() - 1.0  # opened 1 s ago (the
         # real open happens at first chunk dispatch)
         eng._ep_tokens = int(rates[arm])
@@ -464,28 +473,43 @@ def test_adaptive_gamma_epoch_controller():
         eng._epoch_tick()
         return arm
 
-    assert run_epoch() == 2            # ramp epoch — RECORDED
-    assert eng._ep_rate[2] == pytest.approx(100.0, rel=1e-2)
+    assert run_epoch() == "mixed"      # rotated ramp epoch — NOT credited
+    assert eng._ep_rate == {} and eng._ep_history[0]["gamma"] == "mixed"
     assert eng._best_wall_pc == pytest.approx(1.0 / eng._ep_size, rel=1e-2)
-    explored = [run_epoch() for _ in range(2)]
-    assert explored[0] == 4            # prior (chunk EMA) puts 4 first
-    assert sorted(explored) == [4, 8]  # remaining arms get one epoch
-    assert eng.gamma == 2              # exploit the measured-best arm
-    # explore -> exploit transition arms the one-shot admission re-sync
+    # exploration: plausible arms only, prior order — 4 then 2; the ramp
+    # already settled rotation on 4 so the first explore needs no switch
+    assert eng.gamma == 4 and eng._ep_phase == "explore"
+    assert run_epoch() == 4            # credits 4; next explore arm is 2
+    assert eng.gamma == 2 and eng._ep_phase == "explore"
+    # the arm switch arms the one-shot admission re-sync; while held,
+    # epoch accounting pauses (ADVICE r4: a wall-cap closure mid-drain
+    # would charge the old arm's stragglers to the new arm)
     assert eng._resync
+    import time as _t
+
+    eng._ep_start = _t.perf_counter() - 100.0
+    eng._ep_tokens, eng._ep_completions = 999, eng._ep_size
+    before = eng._ep_count
+    eng._epoch_tick()
+    assert eng._ep_count == before     # paused: no closure during drain
     eng._pending.extend([object()] * 8)
     eng._admit()                       # 1 free row < full wave: held
     assert eng._resync
     eng._pending.clear()
     eng._row_req[0] = None
-    free_all = eng._admit()            # all rows free + no pending: clears
+    eng._admit()                       # all rows free + no pending: clears
     assert not eng._resync
     eng._row_req[0] = object()
-    for g, r in rates.items():
-        assert eng._ep_rate[g] == pytest.approx(r, rel=0.2)
-    # periodic probe hits the runner-up, then returns to the best
-    seen = [run_epoch() for _ in range(eng._ep_reprobe_every + 1)]
-    assert 4 in seen and seen.count(2) >= eng._ep_reprobe_every - 1
+    assert run_epoch() == 2            # credits 2 -> exploit the best arm
+    assert eng.gamma == 2 and eng._ep_phase == "exploit"
+    assert 8 not in eng._ep_rate       # implausible: no up-front epoch
+    for g in (2, 4):
+        assert eng._ep_rate[g] == pytest.approx(rates[g], rel=0.2)
+    # periodic probe cycles the non-incumbent arms (eventually measuring
+    # even the implausibility-skipped gamma=8), then returns to the best
+    seen = [run_epoch() for _ in range(2 * eng._ep_reprobe_every + 2)]
+    assert 4 in seen and 8 in seen
+    assert seen.count(2) >= 2 * (eng._ep_reprobe_every - 1)
     assert eng.gamma == 2
 
     # wall cap: a probe epoch that stalls (few completions, long wall)
@@ -508,6 +532,26 @@ def test_adaptive_gamma_epoch_controller():
     assert eng._ep_start is None and eng._ep_rate[2] > 0
     st = eng.adaptive_stats()
     assert st["mode"] == "epoch" and st["gamma"] == 2 and st["epochs"] >= 5
+
+
+def test_warmup_leaves_controller_pristine():
+    """ADVICE r4 (medium): warmup()'s main prefill/decode waves complete
+    real 2-token requests; with the controller reset placed BEFORE them,
+    those completions closed real epochs — live traffic then started
+    mid-'explore' on a non-ramp arm with warmup-garbage _ep_rate entries.
+    The reset must run at the END of warmup."""
+    bd, pd, bt, pt = _make_pair()
+    eng = PagedEngine(
+        bd, pd, bt, pt, batch_rows=3, num_blocks=24, page=32,
+        max_pages_per_req=8, max_new_cap=64, gamma=4, eos_token_id=-1,
+        top_k=10, top_p=0.9, prompt_bucket=32, adaptive_gamma=(2, 4, 8),
+    )
+    eng.warmup(prompt_lens=(8,))
+    assert eng._ep_phase == "ramp" and eng.gamma == 2
+    assert eng._ep_rate == {} and eng._ep_history == []
+    assert eng._arm_rate == {} and eng._ramp_chunks == 0
+    assert eng._ep_completions == 0 and eng._ep_tokens == 0
+    assert not eng._resync and eng._next_rid == 0
 
 
 def test_adaptive_gamma_epoch_serves_correctly():
