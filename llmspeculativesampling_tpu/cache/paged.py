@@ -369,6 +369,12 @@ class PageAllocator:
             return None
         return [self._free.pop() for _ in range(n)]
 
+    def alloc_one(self) -> Optional[int]:
+        """One more block for a GROWING request (on-demand paging: the
+        engine appends pages as a sequence's length crosses page
+        boundaries instead of reserving its worst case up front)."""
+        return self._free.pop() if self._free else None
+
     def free(self, blocks: List[int]) -> None:
         self._free.extend(reversed(blocks))
 
@@ -491,6 +497,13 @@ class SharedPageAllocator(PageAllocator):
         """PageAllocator-compatible allocation (no sharing)."""
         got = self.alloc_shared(total_len, [])
         return got[0] if got is not None else None
+
+    def alloc_one(self) -> Optional[int]:
+        """On-demand growth block (may evict a parked registry page)."""
+        blk = self._take_block()
+        if blk is not None:
+            self._ref[blk] = 1
+        return blk
 
     def register(self, hashes: List[bytes], blocks: List[int]) -> None:
         """Publish a request's computed prefix pages (block ``i`` holds

@@ -12,9 +12,16 @@ vmaps only the cache-free accept/resample math, reusing
 ``engine.speculative.accept_phase`` verbatim.
 
 What paging buys over slots (measured in scripts/bench_paged.py):
-  * HBM holds Σ(actual request lengths) of KV instead of
-    num_slots × max_total_len — mixed-length workloads admit more
-    concurrent requests at the same memory;
+  * on-demand allocation (``on_demand=True``, the default): HBM holds
+    Σ(actual request lengths + a two-chunk runway) of KV — admission
+    reserves only the prompt's pages plus the runway, ``_ensure_runway``
+    appends pages as lengths grow, and on pool exhaustion the youngest
+    row is PREEMPTED (pages freed, request requeued with its committed
+    tokens + evolved PRNG key; the resumed run replays bit-identically).
+    ``on_demand=False`` keeps the legacy per-request worst-case
+    reservation (Σ(p_len + max_new + γ + 1)) for comparison;
+  * mixed-length workloads admit more concurrent requests at the same
+    memory than num_slots × max_total_len slotting;
   * admission control is *byte-accurate*: a request is admitted exactly
     when its pages fit, instead of when a worst-case-sized slot frees.
 
@@ -245,10 +252,14 @@ def _pack_chunk_meta(state: PagedBatchState, acc_delta, step_delta) -> jax.Array
         harvest payload inside the chunk's own (already async-copied)
         metadata makes harvest zero-fetch and the stall class
         impossible.
-    Layout per shard-local block of b rows (all int32; f32 bitcast):
+    Layout per shard-local block of b rows (all int32; f32/u32 bitcast):
       [cur_len b | done b | steps b | accepted b | resamples b |
        bonus b | acc_rate_sum(bitcast) b | acc_delta 1 | step_delta 1 |
-       acc_len_hist b*h | tokens b*t]"""
+       key_data(bitcast) b*2 | acc_len_hist b*h | tokens b*t]
+
+    ``key_data`` is each row's EVOLVED PRNG key: preemption (on-demand
+    paging) resumes a request from its last harvested snapshot, and
+    restoring this key makes the continuation replay bit-identically."""
     f = lambda x: x.astype(jnp.int32).reshape(-1)
     return jnp.concatenate([
         f(state.cur_len), f(state.done), f(state.steps), f(state.accepted),
@@ -256,6 +267,8 @@ def _pack_chunk_meta(state: PagedBatchState, acc_delta, step_delta) -> jax.Array
         jax.lax.bitcast_convert_type(
             state.acc_rate_sum.astype(jnp.float32), jnp.int32).reshape(-1),
         f(acc_delta), f(step_delta),
+        jax.lax.bitcast_convert_type(
+            jax.random.key_data(state.key), jnp.int32).reshape(-1),
         f(state.acc_len_hist), f(state.tokens),
     ])
 
@@ -277,6 +290,7 @@ def _unpack_chunk_meta(pack: np.ndarray, b: int, h: int, t: int) -> dict:
         "bonus": take(b),
         "acc_rate_sum": take(b).view(np.float32),
         "acc_delta": int(take(1)[0]), "step_delta": int(take(1)[0]),
+        "key_data": take(b * 2, (b, 2)).view(np.uint32),
         "acc_len_hist": take(b * h, (b, h)), "tokens": take(b * t, (b, t)),
     }
 
@@ -444,6 +458,28 @@ def _paged_finalize_body(
 _paged_finalize = partial(jax.jit, donate_argnames=("state",))(_paged_finalize_body)
 
 
+def _paged_maintain_body(state: PagedBatchState, tables, deact):
+    """On-demand paging maintenance, one tiny dispatch before a chunk:
+    install the host allocator's current block tables (rows grow pages as
+    their length crosses page boundaries — ``tables`` is the full [B,
+    max_pages] host mirror, shard-local ids under dp) and deactivate
+    preempted rows (``deact`` [B] bool) so no later chunk writes into
+    pages the allocator already handed to someone else. The in-FLIGHT
+    chunk may still write a preempted row's old pages, but the device
+    stream orders that before any reuse, and no position is ever read
+    before the owning row rewrites it."""
+    t = jnp.asarray(tables, jnp.int32)
+    return state._replace(
+        draft_cache=dataclasses.replace(state.draft_cache, block_tables=t),
+        target_cache=dataclasses.replace(state.target_cache, block_tables=t),
+        active=jnp.where(deact, False, state.active),
+        done=jnp.where(deact, True, state.done),
+    )
+
+
+_paged_maintain = partial(jax.jit, donate_argnames=("state",))(_paged_maintain_body)
+
+
 def _pool_fields(cache):
     return (
         ("k_q", "k_s", "v_q", "v_s")
@@ -527,6 +563,9 @@ def _build_dp_fns(mesh, state, bundle_d, bundle_t, gamma, scfg, eos_token_id,
         return _paged_finalize_body(
             st, rows, tables, prompts, p_lens, max_news, keys)
 
+    def maintain(st, tables, deact):
+        return _paged_maintain_body(st, tables, deact)
+
 # Donate the state like every single-mesh entry point does
     # (ADVICE r3 #2): without it each dp chunk/prefill transiently holds
     # two full copies of both KV pools — pool is sized to the HBM budget,
@@ -545,6 +584,7 @@ def _build_dp_fns(mesh, state, bundle_d, bundle_t, gamma, scfg, eos_token_id,
         "prefill": sm(prefill, (P(), P(), sspec) + adm, sspec, 2),
         "extend": sm(extend, (P(), P(), sspec, mat_s, rows_s, mat_s), sspec, 2),
         "finalize": sm(finalize, (sspec,) + adm, sspec, 0),
+        "maintain": sm(maintain, (sspec, mat_s, rows_s), sspec, 0),
     }
 
 
@@ -591,6 +631,7 @@ class PagedEngine:
         pool_pad_128=None,
         adaptive_gamma=None,
         adaptive_gamma_mode: str = "epoch",
+        on_demand: bool = True,
     ):
         self.bundle_d, self.params_d = bundle_d, params_d
         self.bundle_t, self.params_t = bundle_t, params_t
@@ -833,6 +874,27 @@ class PagedEngine:
         self._row_blocks: list[Optional[list]] = [None] * b
         self._row_gen: list[int] = [0] * b
         self.completions: dict[int, Completion] = {}
+        # on-demand paging (vLLM-style, VERDICT r4 ask #2): admission
+        # reserves only the prompt's pages plus a two-chunk decode runway
+        # (the scheduler's knowledge of a row's length lags the one-deep
+        # pipeline by two chunks), and _ensure_runway appends pages as
+        # lengths grow — HBM holds Σ(actual lengths + runway) instead of
+        # Σ(per-request worst case). On pool exhaustion the YOUNGEST row
+        # (highest rid) is preempted: its pages free, it requeues at the
+        # queue front carrying its committed tokens + evolved PRNG key,
+        # and the resumed run replays bit-identically (determinism; see
+        # tests/test_paged_engine.py preemption parity). on_demand=False
+        # keeps legacy worst-case reservation for A/B measurement.
+        self.on_demand = bool(on_demand)
+        gam_max = max(self._gamma_choices) if self._gamma_choices else gamma
+        self._chunk_runway = self.steps_per_sync * (gam_max + 1) + gam_max + 1
+        self._row_len: list[int] = [0] * b
+        self._row_done: list[bool] = [False] * b
+        self._deact_rows: set[int] = set()
+        self._tables_dirty = False
+        self._last_harvest = None
+        self._last_harvest_gens: Optional[tuple] = None
+        self.preemptions = 0
 
     # --------------------------------------------------------------- interface
     def warmup(self, prompt_lens=(8,)) -> None:
@@ -954,6 +1016,10 @@ class PagedEngine:
                 gam_max = (max(self._gamma_choices) if self._gamma_choices
                            else self.gamma)
                 total = p_len + nxt.max_new_tokens + gam_max + 1
+                if self.on_demand:
+                    # reserve prompt + a two-chunk decode runway only;
+                    # _ensure_runway appends pages as the row grows
+                    total = min(total, p_len + 2 * self._chunk_runway)
                 # dp: the row decides the shard, the shard's allocator
                 # hands out shard-local block ids. Try every shard that
                 # still has a free row (ADVICE r3 #4): pinning admission
@@ -1000,11 +1066,14 @@ class PagedEngine:
                 self._dispatch_extend(hits, bucket)
             now = time.perf_counter()
             for row, req, _, p_len, blocks, cached_len, hashes in batch:
-                req.prefill_time = now
+                if req.prefill_time is None:  # resumed rows keep TTFT
+                    req.prefill_time = now
                 req.cached_len = cached_len
                 self._row_req[row] = req
                 self._row_blocks[row] = blocks
                 self._row_gen[row] += 1
+                self._row_len[row] = p_len
+                self._row_done[row] = False
                 if self.prefix_cache and hashes:
                     # publish the full prompt pages this request now holds
                     # (shared ones are already registered; register is
@@ -1012,6 +1081,148 @@ class PagedEngine:
                     # in the row's shard registry — sharing is per-shard.
                     self._allocs[row // self._rows_local].register(
                         hashes, blocks[: len(hashes)])
+
+    # ---------------------------------------------- on-demand paging
+    def _target_total(self, req: Request) -> int:
+        """The row's final length target (prompt + remaining budget)."""
+        return len(req.prompt) + req.max_new_tokens
+
+    def _ensure_runway(self):
+        """Grow each active row's block table to cover the next two decode
+        chunks (the scheduler's view of a row's length lags the one-deep
+        pipeline by two chunks). On pool exhaustion, preempt the youngest
+        row in the needy row's shard — vLLM-style recompute preemption."""
+        if not self.on_demand:
+            return
+        page = self.page
+        for row in range(self.batch_rows):
+            req = self._row_req[row]
+            if req is None or self._row_done[row]:
+                continue
+            # coverage target: two chunks of worst-case advance past the
+            # last KNOWN length, capped at the request's final length
+            # plus one chunk of draft/bonus overrun
+            need = min(self._row_len[row] + 2 * self._chunk_runway,
+                       self._target_total(req) + self._chunk_runway)
+            shard = row // self._rows_local
+            alloc = self._allocs[shard]
+            while (self._row_req[row] is not None
+                   and len(self._row_blocks[row]) * page < need):
+                blk = alloc.alloc_one()
+                if blk is not None:
+                    self._row_blocks[row].append(blk)
+                    self._tables_dirty = True
+                    continue
+                victim = self._pick_victim(shard)
+                if victim is None:
+                    break  # nothing to preempt; retry next step
+                if victim == row and alloc.num_blocks * page < need:
+                    raise RuntimeError(
+                        f"request {req.rid} needs {need} cache positions "
+                        f"but the shard pool holds only "
+                        f"{alloc.num_blocks * page}")
+                self._preempt_row(victim)
+                # if the needy row preempted itself the outer while's
+                # req-is-None guard exits
+
+    def _pick_victim(self, shard: int) -> Optional[int]:
+        """Youngest (highest-rid) running row in the shard: FCFS-fair, and
+        resumed requests (old rids) are automatically protected."""
+        cands = [
+            r for r in range(shard * self._rows_local,
+                             (shard + 1) * self._rows_local)
+            if self._row_req[r] is not None and not self._row_done[r]
+        ]
+        if not cands:
+            return None
+        return max(cands, key=lambda r: self._row_req[r].rid)
+
+    def _preempt_row(self, row: int):
+        """Free the row's pages and requeue its request at the queue
+        front, resuming from the last harvested snapshot: committed
+        tokens become the resume prompt and the row's evolved PRNG key
+        rides along, so the resumed run replays the preempted
+        continuation (any in-flight chunk work since the snapshot is
+        redone deterministically). Replay is BIT-identical whenever the
+        prefill recompute is bit-equal to the original decode-path
+        computation — true under fp32/highest matmul precision (pinned
+        by tests/test_paged_engine.py::test_preemption_parity...); on
+        TPU default precision the re-prefilled KV can differ in low
+        bits and a sampled token occasionally flips at a top-k/accept
+        boundary (measured on chip: 2 of 3 preempted requests still
+        bit-identical) — the same distribution-exact-but-not-
+        bit-deterministic contract as any recompute preemption.
+        The in-flight chunk may still write the freed pages, but the
+        device stream orders those writes before any later owner's, and
+        no position is read before its owner writes it — stale data is
+        unreachable."""
+        req = self._row_req[row]
+        shard = row // self._rows_local
+        hv, gens = self._last_harvest, self._last_harvest_gens
+        resume = req
+        if (hv is not None and gens is not None
+                and gens[row] == self._row_gen[row]
+                and int(hv["steps"][row]) > 0):
+            cur = int(hv["cur_len"][row])
+            toks = np.asarray(hv["tokens"][row][:cur], np.int32).copy()
+            orig_plen = (req.orig_prompt_len if req.orig_prompt_len is not None
+                         else len(req.prompt))
+            prev = req.carry or {}
+            steps = int(hv["steps"][row])
+            carry = {
+                "steps": prev.get("steps", 0) + steps,
+                "accepted": prev.get("accepted", 0) + int(hv["accepted"][row]),
+                "resamples": prev.get("resamples", 0) + int(hv["resamples"][row]),
+                "bonus": prev.get("bonus", 0) + int(hv["bonus"][row]),
+                "acc_rate_sum": prev.get("acc_rate_sum", 0.0)
+                + float(hv["acc_rate_sum"][row]),
+                "acc_len": prev.get("acc_len", [])
+                + np.asarray(hv["acc_len_hist"][row])[:steps].tolist(),
+                "gamma_steps": prev.get("gamma_steps", 0) + steps * self.gamma,
+                "prefix_cached_tokens": prev.get(
+                    "prefix_cached_tokens", req.cached_len),
+                "target_total": prev.get(
+                    "target_total", orig_plen + req.max_new_tokens),
+            }
+            remaining = carry["target_total"] - cur
+            resume = Request(
+                req.rid, toks, max(remaining, 0), req.submit_time,
+                prefill_time=req.prefill_time, cached_len=0,
+                resume_key=np.asarray(hv["key_data"][row], np.uint32).copy(),
+                carry=carry, orig_prompt_len=orig_plen,
+            )
+        self._allocs[shard].free(self._row_blocks[row])
+        self._row_req[row] = None
+        self._row_blocks[row] = None
+        self._row_gen[row] += 1
+        self._row_done[row] = False
+        self._deact_rows.add(row)
+        self._tables_dirty = True
+        self._pending.appendleft(resume)
+        self.preemptions += 1
+
+    def _flush_maintenance(self):
+        """Push the host allocator's table mirror + pending deactivations
+        to the device in one tiny dispatch (before the next chunk)."""
+        if not (self._tables_dirty or self._deact_rows):
+            return
+        tables = np.full((self.batch_rows, self._max_pages),
+                         self._table_sentinel, np.int32)
+        for row in range(self.batch_rows):
+            blocks = self._row_blocks[row]
+            if blocks:
+                shard = row // self._rows_local
+                tables[row] = self._allocs[shard].table_row(blocks)
+        deact = np.zeros((self.batch_rows,), bool)
+        for r in self._deact_rows:
+            deact[r] = True
+        args = (jnp.asarray(tables), jnp.asarray(deact))
+        if self._dp_fns is not None:
+            self.state = self._dp_fns["maintain"](self.state, *args)
+        else:
+            self.state = _paged_maintain(self.state, *args)
+        self._deact_rows.clear()
+        self._tables_dirty = False
 
     def _admission_arrays(self, batch, bucket):
         """Admission tensors, dp-segmented: [dp * kbs] where segment s
@@ -1032,6 +1243,7 @@ class PagedEngine:
         max_news = np.zeros((kb,), np.int32)
         cached = np.zeros((kb,), np.int32)
         rid_at = np.full((kb,), -1, np.int64)
+        key_at: list = [None] * kb
         for s, g in enumerate(groups):
             alloc = self._allocs[s]
             for j, (row, req, padded, p_len, blocks, cached_len, _h) in enumerate(g):
@@ -1043,11 +1255,19 @@ class PagedEngine:
                 max_news[i] = req.max_new_tokens
                 cached[i] = cached_len
                 rid_at[i] = req.rid
-        keys = jnp.stack([
-            jax.random.fold_in(self._admit_key, int(rid_at[i]))
-            if rid_at[i] >= 0 else jax.random.fold_in(self._admit_key, 2**31 - 1)
-            for i in range(kb)
-        ])
+                key_at[i] = req.resume_key
+
+        def slot_key(i):
+            if key_at[i] is not None:
+                # preemption resume: the row's evolved key, so the
+                # continuation's draws replay bit-identically
+                return jax.random.wrap_key_data(
+                    jnp.asarray(key_at[i], jnp.uint32))
+            if rid_at[i] >= 0:
+                return jax.random.fold_in(self._admit_key, int(rid_at[i]))
+            return jax.random.fold_in(self._admit_key, 2**31 - 1)
+
+        keys = jnp.stack([slot_key(i) for i in range(kb)])
         return rows, tables, prompts, p_lens, max_news, cached, keys
 
     def _dispatch_prefill(self, batch, bucket):
@@ -1109,6 +1329,13 @@ class PagedEngine:
             self.state = _paged_finalize(self.state, *fin_args)
 
     def _harvest(self, done: np.ndarray, cur_len: np.ndarray, gens: tuple):
+        # host mirrors for on-demand growth/preemption: the freshest
+        # per-row length/done knowledge, gen-gated against stale chunks
+        self._last_harvest_gens = gens
+        for i, r in enumerate(self._row_req):
+            if r is not None and gens[i] == self._row_gen[i]:
+                self._row_len[i] = int(cur_len[i])
+                self._row_done[i] = bool(done[i])
         fin = [i for i, r in enumerate(self._row_req)
                if r is not None and done[i] and gens[i] == self._row_gen[i]]
         if not fin:
@@ -1126,29 +1353,37 @@ class PagedEngine:
         for row in fin:
             req = self._row_req[row]
             p_len = req.prompt.shape[0]
+            # preemption-resumed rows: user-visible prompt length and the
+            # pre-preemption counters come from the carried snapshot
+            orig_plen = (req.orig_prompt_len if req.orig_prompt_len is not None
+                         else p_len)
+            carry = req.carry or {}
             out = first_eos_truncate(
                 toks_f[row], p_len, int(cur_len[row]), self.eos_token_id
             )
-            steps = int(steps_f[row])
+            steps = carry.get("steps", 0) + int(steps_f[row])
             # with adaptive_gamma the depth varied across this row's
             # steps; the current arm approximates the drafted-count
             # denominator (acc_rate is observability, not control)
-            drafted = steps * self.gamma
+            drafted = carry.get("gamma_steps", 0) + int(steps_f[row]) * self.gamma
             now = time.perf_counter()
             details = {
                 "ttft_s": (req.prefill_time or now) - req.submit_time,
                 "latency_s": now - req.submit_time,
-                "acc_len": np.asarray(hist_f[row])[:steps].tolist(),
-                "acc_rate": float(accr_f[row]) / max(drafted, 1),
+                "acc_len": carry.get("acc_len", [])
+                + np.asarray(hist_f[row])[: int(steps_f[row])].tolist(),
+                "acc_rate": (carry.get("acc_rate_sum", 0.0) + float(accr_f[row]))
+                / max(drafted, 1),
                 "target_call_times": steps,
                 "approx_call_times": steps,
-                "accepted_count": int(acc_f[row]),
-                "resample_count": int(res_f[row]),
-                "target_sample_count": int(bon_f[row]),
-                "tokens_generated": len(out) - p_len,
-                "prefix_cached_tokens": req.cached_len,
+                "accepted_count": carry.get("accepted", 0) + int(acc_f[row]),
+                "resample_count": carry.get("resamples", 0) + int(res_f[row]),
+                "target_sample_count": carry.get("bonus", 0) + int(bon_f[row]),
+                "tokens_generated": len(out) - orig_plen,
+                "prefix_cached_tokens": carry.get(
+                    "prefix_cached_tokens", req.cached_len),
             }
-            self.completions[req.rid] = Completion(req.rid, out, p_len, details)
+            self.completions[req.rid] = Completion(req.rid, out, orig_plen, details)
             # _resync: the drain after an arm switch belongs to the OLD
             # arm; accumulating it would charge the drain to the NEW
             # arm's epoch (ADVICE r4 — the same '634 read as 499'
@@ -1232,7 +1467,7 @@ class PagedEngine:
             for k in ("cur_len", "done", "steps", "accepted", "resamples",
                       "bonus", "acc_rate_sum")
         }
-        for k in ("acc_len_hist", "tokens"):
+        for k in ("acc_len_hist", "tokens", "key_data"):
             merged[k] = np.concatenate([sh[k] for sh in shards], axis=0)
         self._last_harvest = merged
         self._update_gamma(
@@ -1433,6 +1668,8 @@ class PagedEngine:
 
     def step(self) -> int:
         self._admit()
+        self._ensure_runway()
+        self._flush_maintenance()
         if self.num_active:
             m = self._meta_np(self._dispatch_chunk())
             b = self.batch_rows
@@ -1449,6 +1686,8 @@ class PagedEngine:
         inflight = None
         while steps < max_steps:
             self._admit()
+            self._ensure_runway()
+            self._flush_maintenance()
             new_inflight = None
             if self.num_active:
                 meta = self._dispatch_chunk()

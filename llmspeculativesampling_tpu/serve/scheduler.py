@@ -298,6 +298,13 @@ class Request:
     submit_time: float
     prefill_time: Optional[float] = None
     cached_len: int = 0      # prompt positions served from the prefix cache
+    # preemption-resume fields (paged engine on-demand mode): a preempted
+    # request requeues with prompt = its committed tokens, the row's
+    # EVOLVED PRNG key (so the continuation replays bit-identically to
+    # the unpreempted run), and the pre-preemption detail counters
+    resume_key: Optional[np.ndarray] = None   # [2] uint32 key data
+    carry: Optional[dict] = None              # accumulated details
+    orig_prompt_len: Optional[int] = None     # user-visible prompt length
 
 
 @dataclasses.dataclass
