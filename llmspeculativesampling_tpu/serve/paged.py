@@ -632,6 +632,7 @@ class PagedEngine:
         adaptive_gamma=None,
         adaptive_gamma_mode: str = "epoch",
         on_demand: bool = True,
+        chunked_prefill: bool = False,
     ):
         self.bundle_d, self.params_d = bundle_d, params_d
         self.bundle_t, self.params_t = bundle_t, params_t
@@ -886,6 +887,20 @@ class PagedEngine:
         # tests/test_paged_engine.py preemption parity). on_demand=False
         # keeps legacy worst-case reservation for A/B measurement.
         self.on_demand = bool(on_demand)
+        # SARATHI-style chunked COLD prefill (VERDICT r4 ask #5): with
+        # chunked_prefill=True, a cold admission whose uncached prompt
+        # suffix exceeds extend_chunk tokens is STAGED — its prefill runs
+        # as extend_chunk-token window dispatches interleaved between
+        # decode chunks (one window per scheduler tick) instead of one
+        # monolithic prompt forward that stalls every running row for the
+        # whole prefill wall. The knob trades aggregate throughput
+        # (weights are re-read per window) for in-flight rows'
+        # inter-token latency; measured both ways in
+        # scripts/bench_chunked_prefill.py / docs/PERFORMANCE.md.
+        self.chunked_prefill = bool(chunked_prefill)
+        self._staged: list = []
+        self._row_resv: list[Optional[Request]] = [None] * batch_rows
+        self.interleaved_chunks = 0
         gam_max = max(self._gamma_choices) if self._gamma_choices else gamma
         self._chunk_runway = self.steps_per_sync * (gam_max + 1) + gam_max + 1
         self._row_len: list[int] = [0] * b
@@ -927,6 +942,12 @@ class PagedEngine:
                 for _ in range(2):
                     rids.append(self.submit(same, 2))
                     self.run_until_idle()
+        if self.chunked_prefill:
+            # compile the staged extend-window + finalize programs so a
+            # live long cold prompt never pays remote compilation
+            long_p = rng.integers(2, 100, size=2 * self.extend_chunk + 2)
+            rids.append(self.submit(long_p, 2))
+            self.run_until_idle()
         for r in rids:
             self.completions.pop(r, None)
         if self._gamma_choices:
@@ -985,10 +1006,14 @@ class PagedEngine:
 
     @property
     def num_active(self) -> int:
-        return sum(r is not None for r in self._row_req)
+        # reserved rows (mid-staged-prefill) count as active: they hold
+        # pages and the server loop must keep ticking them
+        return sum(r is not None for r in self._row_req) + sum(
+            r is not None for r in self._row_resv)
 
     def _admit(self):
-        free_rows = [i for i, r in enumerate(self._row_req) if r is None]
+        free_rows = [i for i, r in enumerate(self._row_req)
+                     if r is None and self._row_resv[i] is None]
         if self._resync:
             if len(free_rows) < min(self.batch_rows, len(self._pending)):
                 return  # hold until a full wave of rows is free
@@ -1058,14 +1083,24 @@ class PagedEngine:
                 )
             if not batch:
                 break
-            misses = [e for e in batch if e[5] == 0]
-            hits = [e for e in batch if e[5] > 0]
+            inline, staged = [], []
+            for e in batch:
+                # stage long uncached suffixes (SARATHI): their prefill
+                # interleaves with decode chunks instead of stalling them
+                if self.chunked_prefill and e[3] - e[5] > self.extend_chunk:
+                    staged.append(e)
+                else:
+                    inline.append(e)
+            misses = [e for e in inline if e[5] == 0]
+            hits = [e for e in inline if e[5] > 0]
             if misses:
                 self._dispatch_prefill(misses, bucket)
             if hits:
                 self._dispatch_extend(hits, bucket)
+            if staged:
+                self._stage_admission(staged, bucket)
             now = time.perf_counter()
-            for row, req, _, p_len, blocks, cached_len, hashes in batch:
+            for row, req, _, p_len, blocks, cached_len, hashes in inline:
                 if req.prefill_time is None:  # resumed rows keep TTFT
                     req.prefill_time = now
                 req.cached_len = cached_len
@@ -1210,7 +1245,11 @@ class PagedEngine:
                          self._table_sentinel, np.int32)
         for row in range(self.batch_rows):
             blocks = self._row_blocks[row]
-            if blocks:
+            # reserved (mid-staged-prefill) rows keep the SENTINEL on
+            # device until their finalize installs them: a decode chunk's
+            # blanket per-row cache ops would otherwise scribble into
+            # pages the staged extend windows are still filling
+            if blocks and self._row_resv[row] is None:
                 shard = row // self._rows_local
                 tables[row] = self._allocs[shard].table_row(blocks)
         deact = np.zeros((self.batch_rows,), bool)
@@ -1285,48 +1324,110 @@ class PagedEngine:
                 bundle_d=self.bundle_d, bundle_t=self.bundle_t,
             )
 
-    def _dispatch_extend(self, batch, bucket):
-        """Prefix-cache-hit admission: the first ``cached_len`` positions'
-        KV already sits in shared pool pages; compute only the suffix, in
-        W-token chunks through the normal paged decode path (the flash
-        kernel's new-block ceiling is 32)."""
-        rows, tables, prompts, p_lens, max_news, cached, keys = (
-            self._admission_arrays(batch, bucket)
-        )
+    def _extend_n_chunks(self, arrays, batch) -> int:
+        _rows, _t, _p, p_lens, _m, cached, _k = arrays
         w = self.extend_chunk
-        kb = rows.shape[0]
-        sentinel = np.full_like(tables, self._table_sentinel)
-        n_chunks = int(max(
+        return int(max(
             -(-(int(p) - int(c)) // w) for p, c in zip(p_lens[: len(batch)],
                                                        cached[: len(batch)])
         ))
-        for j in range(n_chunks):
-            lens_now = cached + j * w
-            live = lens_now < p_lens
-            lens_d = np.where(live, lens_now, 0).astype(np.int32)
-            tab_d = np.where(live[:, None], tables, sentinel).astype(np.int32)
-            window = np.zeros((kb, w), np.int32)
-            for r in range(len(batch)):
-                if not live[r]:
-                    continue
-                s0 = int(lens_now[r])
-                take = min(w, int(p_lens[r]) - s0)
-                window[r, :take] = prompts[r, s0 : s0 + take]
-            ext_args = (jnp.asarray(tab_d), jnp.asarray(lens_d), jnp.asarray(window))
-            if self._dp_fns is not None:
-                self.state = self._dp_fns["extend"](
-                    self.params_d, self.params_t, self.state, *ext_args)
-            else:
-                self.state = _paged_extend_chunk(
-                    self.params_d, self.params_t, self.state, *ext_args,
-                    bundle_d=self.bundle_d, bundle_t=self.bundle_t,
-                )
+
+    def _extend_window(self, arrays, batch, j: int):
+        """Dispatch chunk ``j`` of a chunked prefill: run both models over
+        the [KB, W] prompt window at offset cached + j*W through the
+        normal paged decode path (the flash kernel's new-block ceiling is
+        32). Rows whose prompt is exhausted carry sentinel tables."""
+        rows, tables, prompts, p_lens, max_news, cached, keys = arrays
+        w = self.extend_chunk
+        kb = rows.shape[0]
+        sentinel = np.full_like(tables, self._table_sentinel)
+        lens_now = cached + j * w
+        live = lens_now < p_lens
+        lens_d = np.where(live, lens_now, 0).astype(np.int32)
+        tab_d = np.where(live[:, None], tables, sentinel).astype(np.int32)
+        window = np.zeros((kb, w), np.int32)
+        for r in range(len(batch)):
+            if not live[r]:
+                continue
+            s0 = int(lens_now[r])
+            take = min(w, int(p_lens[r]) - s0)
+            window[r, :take] = prompts[r, s0 : s0 + take]
+        ext_args = (jnp.asarray(tab_d), jnp.asarray(lens_d), jnp.asarray(window))
+        if self._dp_fns is not None:
+            self.state = self._dp_fns["extend"](
+                self.params_d, self.params_t, self.state, *ext_args)
+        else:
+            self.state = _paged_extend_chunk(
+                self.params_d, self.params_t, self.state, *ext_args,
+                bundle_d=self.bundle_d, bundle_t=self.bundle_t,
+            )
+
+    def _finalize_admission(self, arrays):
+        rows, tables, prompts, p_lens, max_news, _cached, keys = arrays
         fin_args = (jnp.asarray(rows), jnp.asarray(tables), jnp.asarray(prompts),
                     jnp.asarray(p_lens), jnp.asarray(max_news), keys)
         if self._dp_fns is not None:
             self.state = self._dp_fns["finalize"](self.state, *fin_args)
         else:
             self.state = _paged_finalize(self.state, *fin_args)
+
+    def _dispatch_extend(self, batch, bucket):
+        """Prefix-cache-hit admission: the first ``cached_len`` positions'
+        KV already sits in shared pool pages; compute only the suffix in
+        W-token chunks, then install the rows."""
+        arrays = self._admission_arrays(batch, bucket)
+        for j in range(self._extend_n_chunks(arrays, batch)):
+            self._extend_window(arrays, batch, j)
+        self._finalize_admission(arrays)
+
+    # -------------------------------------------- SARATHI chunked prefill
+    def _stage_admission(self, batch, bucket):
+        """Reserve rows + pages for a long cold/suffix admission and queue
+        its prefill as per-tick extend windows (see chunked_prefill in
+        __init__). Rows are held out of _row_req until the finalize so
+        decode chunks and harvest never touch them mid-prefill; their
+        block tables live in _row_blocks so _flush_maintenance keeps the
+        device mirror exact."""
+        arrays = self._admission_arrays(batch, bucket)
+        for row, req, _p, p_len, blocks, _c, _h in batch:
+            self._row_resv[row] = req
+            self._row_blocks[row] = blocks
+            # NOTE: _row_gen bumps at FINALIZE, not here — chunks
+            # dispatched mid-staging must carry a gen that mismatches the
+            # installed row, or their stale meta (done=True from the old
+            # state) would harvest the row right after finalize
+        self._staged.append({
+            "batch": batch, "bucket": bucket, "arrays": arrays,
+            "j": 0, "n": self._extend_n_chunks(arrays, batch),
+        })
+
+    def _advance_staged(self):
+        """One extend window per staged group per scheduler tick — the
+        decode chunk dispatched in the same tick rides between windows,
+        so running rows' inter-token gap is one window + one chunk
+        instead of the whole prefill wall."""
+        for st in list(self._staged):
+            self._extend_window(st["arrays"], st["batch"], st["j"])
+            st["j"] += 1
+            if st["j"] >= st["n"]:
+                self._finalize_staged(st)
+                self._staged.remove(st)
+
+    def _finalize_staged(self, st):
+        self._finalize_admission(st["arrays"])
+        now = time.perf_counter()
+        for row, req, _p, p_len, blocks, cached_len, hashes in st["batch"]:
+            if req.prefill_time is None:
+                req.prefill_time = now
+            req.cached_len = cached_len
+            self._row_req[row] = req
+            self._row_resv[row] = None
+            self._row_gen[row] += 1
+            self._row_len[row] = p_len
+            self._row_done[row] = False
+            if self.prefix_cache and hashes:
+                self._allocs[row // self._rows_local].register(
+                    hashes, blocks[: len(hashes)])
 
     def _harvest(self, done: np.ndarray, cur_len: np.ndarray, gens: tuple):
         # host mirrors for on-demand growth/preemption: the freshest
@@ -1668,14 +1769,19 @@ class PagedEngine:
 
     def step(self) -> int:
         self._admit()
+        had_staged = bool(self._staged)
+        if had_staged:
+            self._advance_staged()
         self._ensure_runway()
         self._flush_maintenance()
-        if self.num_active:
+        if any(r is not None for r in self._row_req):
             m = self._meta_np(self._dispatch_chunk())
+            if had_staged:
+                self.interleaved_chunks += 1
             b = self.batch_rows
             self._harvest(m[b:].astype(bool), m[:b], tuple(self._row_gen))
             self._epoch_tick()
-        else:
+        elif not self._staged:
             self._epoch_reset()
         return self.num_active
 
@@ -1686,11 +1792,17 @@ class PagedEngine:
         inflight = None
         while steps < max_steps:
             self._admit()
+            had_staged = bool(self._staged)
+            if had_staged:
+                self._advance_staged()
+                steps += 1
             self._ensure_runway()
             self._flush_maintenance()
             new_inflight = None
-            if self.num_active:
+            if any(r is not None for r in self._row_req):
                 meta = self._dispatch_chunk()
+                if had_staged:
+                    self.interleaved_chunks += 1
                 steps += 1
                 try:
                     meta.copy_to_host_async()

@@ -69,6 +69,21 @@ def _run(engine, reqs, prompts):
     )
 
 
+def _run_reps(engine, reqs, make_prompts, n_reps: int):
+    """Median-of-N with spread (VERDICT r4 ask #7): serving aggregates on
+    the axon-tunneled chip swing with tunnel stalls just like the
+    single-stream bench — one-shot serving numbers are not publishable.
+    Each rep drives a fresh prompt set (so prefix-cache runs don't
+    contaminate later reps) through the SAME warmed engine."""
+    runs = [_run(engine, reqs, make_prompts(rep)) for rep in range(n_reps)]
+    tps = sorted(r["tps"] for r in runs)
+    med = runs[[r["tps"] for r in runs].index(tps[len(tps) // 2])]
+    out = dict(med)
+    out.update(n_reps=n_reps, tps_min=tps[0], tps_median=tps[len(tps) // 2],
+               tps_max=tps[-1])
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", choices=["tiny", "1.1b", "13b"], default="1.1b")
@@ -103,6 +118,14 @@ def main():
                     help="override the equal-budget slot count (e.g. when "
                          "the slotted engine OOMs at parity budget — "
                          "itself a result worth recording)")
+    ap.add_argument("--on_demand", choices=["on", "off"], default="on",
+                    help="on-demand page allocation + preemption (r5); "
+                         "'off' = legacy worst-case reservation")
+    ap.add_argument("--chunked_prefill", action="store_true",
+                    help="SARATHI-style staged cold prefill (r5)")
+    ap.add_argument("--reps", type=int, default=1,
+                    help=">1: replay the workload N times on the warmed "
+                         "engine and report median + spread")
     ap.add_argument("--skip_slotted", action="store_true")
     ap.add_argument("--skip_paged", action="store_true")
     ap.add_argument("--subprocess", action="store_true",
@@ -217,12 +240,26 @@ def main():
             max_new_cap=max(mn for _, mn in reqs), prompt_bucket=64,
             kv_quant=args.kv_int8, prefix_cache=args.prefix_cache,
             pool_pad_128=pool_pad, adaptive_gamma=agam,
-            adaptive_gamma_mode=args.adaptive_mode, **eng_kw,
+            adaptive_gamma_mode=args.adaptive_mode,
+            on_demand=args.on_demand == "on",
+            chunked_prefill=args.chunked_prefill, **eng_kw,
         )
         print(f"paged pools: draft D={paged.state.draft_cache.k.shape[-1] if hasattr(paged.state.draft_cache, 'k') else paged.state.draft_cache.k_q.shape[-1]}, "
               f"target D={paged.state.target_cache.k.shape[-1] if hasattr(paged.state.target_cache, 'k') else paged.state.target_cache.k_q.shape[-1]}", flush=True)
         paged.warmup(prompt_lens=sorted({pl for pl, _ in reqs}))
-        r = _run(paged, reqs, prompts)
+
+        def mk_prompts(rep):
+            if rep == 0:
+                return prompts
+            rr = np.random.default_rng(1000 + rep)
+            if args.workload == "shared_prefix":
+                return [np.concatenate([system, rr.integers(100, 31000, pl - 512)
+                                        .astype(np.int32)]) for pl, _ in reqs]
+            return [rr.integers(100, 31000, pl).astype(np.int32)
+                    for pl, _ in reqs]
+
+        r = (_run_reps(paged, reqs, mk_prompts, args.reps)
+             if args.reps > 1 else _run(paged, reqs, prompts))
         if agam:
             st = paged.adaptive_stats()
             print(f"adaptive gamma settled on {st['incumbent']} "
@@ -237,6 +274,13 @@ def main():
         results["paged"] = r
         pc = (f"  prefix hits={paged.allocator.hits}p"
               if args.prefix_cache else "")
+        if args.reps > 1:
+            pc += (f"  [reps={r['n_reps']} min={r['tps_min']:.1f} "
+                   f"med={r['tps_median']:.1f} max={r['tps_max']:.1f}]")
+        if paged.preemptions:
+            pc += f"  preemptions={paged.preemptions}"
+        if args.chunked_prefill:
+            pc += f"  interleaved_chunks={paged.interleaved_chunks}"
         print(f"paged   : reqs={r['n']} tokens={r['tokens']} wall={r['wall']:.2f}s "
               f"-> {r['tps']:.1f} tok/s  ttft p50={r['ttft_p50']*1e3:.0f}ms "
               f"p95={r['ttft_p95']*1e3:.0f}ms  lat p50={r['lat_p50']:.2f}s{pc}",
@@ -250,11 +294,24 @@ def main():
         )
         for pl in sorted({pl for pl, _ in reqs}):
             slotted.warmup(prompt_len=pl)
-        r = _run(slotted, reqs, prompts)
+
+        def mk_prompts_s(rep):
+            if rep == 0:
+                return prompts
+            rr = np.random.default_rng(1000 + rep)
+            return [rr.integers(100, 31000, pl).astype(np.int32)
+                    for pl, _ in reqs]
+
+        r = (_run_reps(slotted, reqs, mk_prompts_s, args.reps)
+             if args.reps > 1 else _run(slotted, reqs, prompts))
         results["slotted"] = r
+        sp = ""
+        if args.reps > 1:
+            sp = (f"  [reps={r['n_reps']} min={r['tps_min']:.1f} "
+                  f"med={r['tps_median']:.1f} max={r['tps_max']:.1f}]")
         print(f"slotted : reqs={r['n']} tokens={r['tokens']} wall={r['wall']:.2f}s "
               f"-> {r['tps']:.1f} tok/s  ttft p50={r['ttft_p50']*1e3:.0f}ms "
-              f"p95={r['ttft_p95']*1e3:.0f}ms  lat p50={r['lat_p50']:.2f}s", flush=True)
+              f"p95={r['ttft_p95']*1e3:.0f}ms  lat p50={r['lat_p50']:.2f}s{sp}", flush=True)
 
     if "paged" in results and "slotted" in results:
         print(f"paged/slotted throughput: "
