@@ -77,16 +77,22 @@ def synthetic_pair(
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n", "n_stack"))
-def _int8_weight(key, k, n, n_stack):
-    """Stacked [L, K, N] {"q": int8, "s": f32[L, N]} weight, generated
-    directly in int8 (quant/core.py pytree form). random.bits(uint8) ->
-    int8 avoids randint's int32 intermediate, and the jit fuses
-    bits/bitcast/clip into one output buffer — eagerly the chain holds 3
-    copies of each tensor and OOMs at 13B scale."""
+@functools.partial(jax.jit, static_argnames=("k", "n", "n_stack", "fmt"))
+def _int8_weight(key, k, n, n_stack, fmt="int8"):
+    """Stacked [L, K, N] {"q": int8|f8e4m3, "s": f32[L, N]} weight,
+    generated directly in the target format (quant/core.py pytree form).
+    random.bits(uint8) -> int8 avoids randint's int32 intermediate, and
+    the jit fuses bits/bitcast/clip into one output buffer — eagerly the
+    chain holds 3 copies of each tensor and OOMs at 13B scale.
+    ``fmt="fp8_e4m3"`` casts the SAME int8 codes to e4m3 inside the jit
+    (13 GB tree never exists in both formats — XLA cannot alias a
+    donated s8 buffer to an f8 output, so a post-hoc convert OOMs), so
+    the int8 and fp8 pairs share weights up to e4m3 rounding."""
     kq, ks = jax.random.split(key)
     bits = jax.random.bits(kq, (n_stack, k, n), jnp.uint8)
     q = jnp.maximum(jax.lax.bitcast_convert_type(bits, jnp.int8), -127)
+    if fmt == "fp8_e4m3":
+        q = q.astype(jnp.float8_e4m3fn)
     # uniform int8 has std ~73; scales put effective weight std at ~1/sqrt(K)
     base = 1.0 / (73.0 * float(k) ** 0.5)
     s = base * jax.random.uniform(ks, (n_stack, n), jnp.float32, 0.8, 1.2)
@@ -104,8 +110,11 @@ def synthetic_pair_int8(
     max_position: int = 2048,
     damp: float = 0.02,
     seed: int = 0,
+    fmt: str = "int8",
 ):
-    """Llama pair with weights *born* int8 (defaults: Llama-2-13B geometry,
+    """Llama pair with weights *born* int8 — or fp8 e4m3 via ``fmt``,
+    sharing the same codes so the two formats differ only by e4m3
+    rounding (defaults: Llama-2-13B geometry,
     the reference's headline target, README.md:11). ~13.2 GB at 13B —
     fits a single 16 GB v5e chip, which the reference needs 4 GPUs +
     accelerate layer offload for (evaluation.py:183-253). Deeper target
@@ -121,13 +130,13 @@ def synthetic_pair_int8(
     )
     keys = jax.random.split(jax.random.key(seed), 12)
     layers = {
-        "wq": _int8_weight(keys[0], k=h, n=h, n_stack=L),
-        "wk": _int8_weight(keys[1], k=h, n=h, n_stack=L),
-        "wv": _int8_weight(keys[2], k=h, n=h, n_stack=L),
-        "wo": _int8_weight(keys[3], k=h, n=h, n_stack=L),
-        "w_gate": _int8_weight(keys[4], k=h, n=inter, n_stack=L),
-        "w_up": _int8_weight(keys[5], k=h, n=inter, n_stack=L),
-        "w_down": _int8_weight(keys[6], k=inter, n=h, n_stack=L),
+        "wq": _int8_weight(keys[0], k=h, n=h, n_stack=L, fmt=fmt),
+        "wk": _int8_weight(keys[1], k=h, n=h, n_stack=L, fmt=fmt),
+        "wv": _int8_weight(keys[2], k=h, n=h, n_stack=L, fmt=fmt),
+        "wo": _int8_weight(keys[3], k=h, n=h, n_stack=L, fmt=fmt),
+        "w_gate": _int8_weight(keys[4], k=h, n=inter, n_stack=L, fmt=fmt),
+        "w_up": _int8_weight(keys[5], k=h, n=inter, n_stack=L, fmt=fmt),
+        "w_down": _int8_weight(keys[6], k=inter, n=h, n_stack=L, fmt=fmt),
         "ln_attn": jnp.ones((L, h), jnp.bfloat16),
         "ln_mlp": jnp.ones((L, h), jnp.bfloat16),
     }
@@ -139,7 +148,7 @@ def synthetic_pair_int8(
         **layers["w_down"], "s": layers["w_down"]["s"] * dampv[:, None]
     }
 
-    head = _int8_weight(keys[8], k=h, n=V, n_stack=1)
+    head = _int8_weight(keys[8], k=h, n=V, n_stack=1, fmt=fmt)
     pt = {
         "embed": jax.random.normal(keys[7], (V, h), jnp.bfloat16) * 0.02,
         "ln_final": jnp.ones((h,), jnp.bfloat16),

@@ -127,11 +127,19 @@ def int8_matmul(
     interpret: bool = False,
     force_ref: bool = False,
 ) -> jax.Array:
-    """``x [..., K] @ dequant(w_q [K, N], scale [N]) -> [..., N]``."""
+    """``x [..., K] @ dequant(w_q [K, N], scale [N]) -> [..., N]``.
+
+    ``w_q`` may be int8 or float8_e4m3fn (quant/core.py fmt) — both are
+    1 byte/weight, widened to bf16 beside the MXU. fp8 always takes the
+    XLA fused convert+dot path (the Pallas tile widen is written for
+    int8; measured on v5e the XLA path wins at decode shapes anyway —
+    see use_pallas)."""
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
+    if w_q.dtype != jnp.int8:
+        force_ref = True
     if force_ref or (not interpret and not use_pallas()):
         out = int8_matmul_ref(x2, w_q, scale)
     else:

@@ -129,6 +129,16 @@ def main():
     res.update(block_q)
     res["acc_delta_int8"] = round(res["acc_int8"] - res["acc_fp32"], 4)
     res["score_delta_int8"] = round(res["score_int8"] - res["score_fp32"], 4)
+
+    # fp8 e4m3 weight-only on the SAME trained target (VERDICT r4 #4):
+    # the quality side of the int8-vs-fp8 comparison (perf side:
+    # scripts/exp_fp8_bench.py)
+    qt_f = quantize_params(pt, "llama", fmt="fp8_e4m3")
+    bt_f = ModelBundle("llama", bt.cfg, llama.forward)
+    _, block_f = run_pair(bt_f, qt_f, "fp8")
+    res.update(block_f)
+    res["acc_delta_fp8"] = round(res["acc_fp8"] - res["acc_fp32"], 4)
+    res["score_delta_fp8"] = round(res["score_fp8"] - res["score_fp32"], 4)
     print(json.dumps(res))
 
 

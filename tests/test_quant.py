@@ -109,6 +109,62 @@ def test_quantized_llama_forward_close_to_dense():
     assert int(jnp.argmax(p_d)) == int(jnp.argmax(p_q))
 
 
+# ------------------------------------------------------------ fp8 weight path
+def test_fp8_quantize_roundtrip_and_error_vs_int8():
+    """fp8 e4m3 weight-only (north-star 'INT8/FP8'): round-trip works and
+    — as the format analysis in quant/core.py predicts — its per-channel
+    rms error is WORSE than int8's at equal bytes/weight (float grid's
+    3 mantissa bits vs the uniform 255-level grid; the extra dynamic
+    range is wasted once a per-channel scale normalizes)."""
+    w = jax.random.normal(jax.random.key(0), (256, 192), jnp.float32)
+    q8 = quantize_tensor(w, "int8")
+    qf = quantize_tensor(w, "fp8_e4m3")
+    assert qf["q"].dtype == jnp.float8_e4m3fn and qf["s"].shape == (192,)
+    rel8 = float(jnp.linalg.norm(dequantize_tensor(q8, jnp.float32) - w)
+                 / jnp.linalg.norm(w))
+    relf = float(jnp.linalg.norm(dequantize_tensor(qf, jnp.float32) - w)
+                 / jnp.linalg.norm(w))
+    assert relf < 0.05          # still a faithful weight format
+    assert relf > rel8          # ...but strictly worse than int8
+    with pytest.raises(ValueError):
+        quantize_tensor(w, "int4")
+
+
+def test_fp8_llama_forward_and_engine():
+    """fp8-quantized target: forward stays close to dense and the
+    speculative engine runs end-to-end (dispatch on q.dtype through the
+    same linear/matmul path as int8)."""
+    cfg = _tiny_cfg()
+    params = llama.init_params(cfg, jax.random.key(0))
+    qparams = quantize_params(params, "llama", quantize_lm_head=True,
+                              fmt="fp8_e4m3")
+    assert qparams["layers"]["wq"]["q"].dtype == jnp.float8_e4m3fn
+    tokens = jax.random.randint(jax.random.key(1), (1, 16), 0, cfg.vocab_size)
+    c0 = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, 64, cfg.head_dim, jnp.float32)
+    logits_d, _ = llama.forward(params, cfg, tokens, c0)
+    logits_q, _ = llama.forward(qparams, cfg, tokens, c0)
+    p_d = jax.nn.softmax(logits_d[0, -1])
+    p_q = jax.nn.softmax(logits_q[0, -1])
+    assert float(jnp.sum(jnp.abs(p_d - p_q))) < 0.12  # TV distance
+    assert int(jnp.argmax(p_d)) == int(jnp.argmax(p_q))
+
+    cfg_d = _tiny_cfg(num_layers=1)
+    pd = {
+        "embed": params["embed"], "ln_final": params["ln_final"],
+        "lm_head": params["lm_head"],
+        "layers": jax.tree.map(lambda x: x[:1], params["layers"]),
+    }
+    bt = ModelBundle("llama", cfg, llama.forward)
+    bd = ModelBundle("llama", cfg_d, llama.forward)
+    out = speculative_generate(
+        bd, pd, bt, qparams, list(range(5, 20)), 12, gamma=3, eos_token_id=-1,
+        temperature=1.0, top_k=10, top_p=0.9, key=jax.random.key(7),
+    )
+    out = np.asarray(out)
+    assert 15 + 12 <= out.shape[0] <= 15 + 12 + 3  # burst overshoot <= gamma
+    assert (out >= 0).all() and (out < cfg.vocab_size).all()
+
+
 # -------------------------------------------------------- quantized KV cache
 def test_quant_kv_cache_write_read_roundtrip():
     k_new = jax.random.normal(jax.random.key(0), (2, 4, 8, 16), jnp.float32)
@@ -208,6 +264,27 @@ def test_synthetic_pair_int8_generates_and_speculates():
     assert float(pt["layers"]["wo"]["s"][2].mean()) < float(
         pt["layers"]["wo"]["s"][0].mean()) * 0.1
 
+    out, details = speculative_generate(
+        bd, pd, bt, pt, list(range(5, 20)), 12, gamma=3,
+        key=jax.random.key(0), details=True, eos_token_id=-1,
+        temperature=1.0, top_k=20, top_p=0.9,
+    )
+    assert len(out) >= 15 + 12
+    assert 0.0 <= details["acc_rate"] <= 1.0
+
+
+def test_synthetic_pair_fp8_generates_and_speculates():
+    """Born-fp8 pair (fmt='fp8_e4m3', same codes as the int8 pair cast
+    inside the generation jit — scripts/exp_fp8_bench.py's subject):
+    valid f8 pytrees, working engine."""
+    from llmspeculativesampling_tpu.core.synthetic import synthetic_pair_int8
+
+    bd, pd, bt, pt = synthetic_pair_int8(
+        hidden_size=64, intermediate_size=128, num_layers=3, num_heads=2,
+        vocab_size=256, draft_layers=1, max_position=256, fmt="fp8_e4m3",
+    )
+    assert pt["layers"]["wq"]["q"].dtype == jnp.float8_e4m3fn
+    assert pt["lm_head"]["q"].dtype == jnp.float8_e4m3fn
     out, details = speculative_generate(
         bd, pd, bt, pt, list(range(5, 20)), 12, gamma=3,
         key=jax.random.key(0), details=True, eos_token_id=-1,
