@@ -23,6 +23,8 @@ The reference has no distributed serving at all (blocking batch-1 Flask,
 
 from __future__ import annotations
 
+import threading
+import time
 from typing import Optional
 
 import numpy as np
@@ -32,12 +34,49 @@ from ..engine.types import pad_prompt
 from .scheduler import ContinuousBatchingEngine, Request
 
 
-def _broadcast(tree):
+class WorkerLostError(RuntimeError):
+    """A peer process stopped participating in the lockstep collectives
+    (died, wedged, or unreachable). The raising driver preserves all host
+    state; call :meth:`PagedMultiHostDriver.recover_requests` to extract
+    every outstanding request in resumable form (SURVEY.md §5
+    "health-checked multi-host serving loop" — the reference has no
+    distributed serving, let alone failure handling)."""
+
+
+def _broadcast(tree, timeout_s: Optional[float] = None):
+    """Lockstep broadcast with an optional watchdog: a collective that
+    neither completes nor errors within ``timeout_s`` means a peer is
+    gone (dead workers either reset the gloo/DCN connection — immediate
+    error — or leave the collective hanging). Collective failures are
+    classified as :class:`WorkerLostError`; the abandoned worker thread
+    is daemonic and never unblocks, which is acceptable on the failure
+    path (the process is about to tear down or re-form its mesh)."""
     from jax.experimental import multihost_utils
 
     if jax.process_count() == 1:
         return tree
-    return multihost_utils.broadcast_one_to_all(tree)
+    if timeout_s is None:
+        return multihost_utils.broadcast_one_to_all(tree)
+    box: list = []
+    err: list = []
+
+    def work():
+        try:
+            box.append(multihost_utils.broadcast_one_to_all(tree))
+        except Exception as e:  # noqa: BLE001 — classified below
+            err.append(e)
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise WorkerLostError(
+            f"lockstep broadcast did not complete within {timeout_s}s — "
+            f"a peer process is gone or wedged")
+    if err:
+        raise WorkerLostError(
+            f"lockstep collective failed: {err[0]!r}") from err[0]
+    return box[0]
 
 
 class MultiHostDriver:
@@ -170,10 +209,17 @@ class PagedMultiHostDriver:
     the other hosts simply drop their (identical) completions.
     """
 
-    def __init__(self, engine, prompt_cap: int = 512, batch_cap: int = 8):
+    def __init__(self, engine, prompt_cap: int = 512, batch_cap: int = 8,
+                 heartbeat_timeout_s: Optional[float] = None):
         self.engine = engine
         self.prompt_cap = prompt_cap
         self.batch_cap = batch_cap
+        # failure detection (SURVEY.md §5): the per-round broadcast IS the
+        # heartbeat — a peer that dies either resets the collective
+        # (immediate error) or leaves it hanging past this timeout;
+        # both classify as WorkerLostError with host state preserved
+        self.heartbeat_timeout_s = heartbeat_timeout_s
+        self.failed = False
         self.is_primary = jax.process_index() == 0
         self._queue: list = []  # host-0 external queue: (rid, ids, max_new)
         self._next_rid = 0
@@ -189,31 +235,47 @@ class PagedMultiHostDriver:
         return rid
 
     def _build_plan(self):
+        """Peek (do not consume — a failed broadcast must not lose the
+        planned entries) up to batch_cap queue releases."""
         k = self.batch_cap
         rids = np.full((k,), -1, np.int64)
         p_lens = np.zeros((k,), np.int32)
         max_new = np.zeros((k,), np.int32)
         prompts = np.zeros((k, self.prompt_cap), np.int32)
+        n_planned = 0
         if self.is_primary:
-            for j in range(min(k, len(self._queue))):
+            n_planned = min(k, len(self._queue))
+            for j in range(n_planned):
                 rid, ids, mn = self._queue[j]
                 rids[j] = rid
                 p_lens[j] = ids.shape[0]
                 max_new[j] = mn
                 prompts[j, : ids.shape[0]] = ids
-            del self._queue[: min(k, len(self._queue))]
         # every host must agree on whether host 0 still holds queued work
         # (the local `_queue` is empty off-primary — looping on it alone
         # would desynchronize run_until_idle and deadlock the broadcast)
-        more = np.asarray(len(self._queue) > 0, np.int32)
-        return rids, p_lens, max_new, prompts, more
+        more = np.asarray(len(self._queue) > n_planned, np.int32)
+        return n_planned, (rids, p_lens, max_new, prompts, more)
 
     def round(self, chunks: int = 1) -> int:
         """Broadcast up to ``batch_cap`` releases, inject them on every
         host, run ``chunks`` engine steps. Returns live rows (host-0
-        view; identical everywhere)."""
+        view; identical everywhere). Raises :class:`WorkerLostError` when
+        a peer stops participating (state preserved — see
+        :meth:`recover_requests`)."""
+        if self.failed:
+            raise WorkerLostError("driver is degraded; recover_requests()")
         eng = self.engine
-        rids, p_lens, max_new, prompts, more = _broadcast(self._build_plan())
+        n_planned, plan = self._build_plan()
+        try:
+            rids, p_lens, max_new, prompts, more = _broadcast(
+                plan, self.heartbeat_timeout_s)
+        except WorkerLostError:
+            self.failed = True
+            raise
+        if self.is_primary:
+            del self._queue[:n_planned]  # consumed only after the
+            # broadcast succeeded: the releases now exist on every host
         self._more_queued = bool(more)
         for j in range(rids.shape[0]):
             if int(rids[j]) < 0:
@@ -224,8 +286,36 @@ class PagedMultiHostDriver:
                 int(max_new[j]),
             )
         for _ in range(max(chunks, 1)):
-            eng.step()
+            try:
+                eng.step()
+            except Exception as e:  # noqa: BLE001
+                if jax.process_count() > 1:
+                    # a collective inside the sharded step failing means a
+                    # peer went away mid-chunk; host scheduler state is
+                    # still coherent as of the last consumed chunk
+                    self.failed = True
+                    raise WorkerLostError(
+                        f"engine step collective failed: {e!r}") from e
+                raise
         return eng.num_active
+
+    def recover_requests(self) -> list:
+        """Host 0, after :class:`WorkerLostError`: every outstanding
+        request in resumable form — running rows are preempted into
+        resume Requests (committed tokens + evolved PRNG key from the
+        last harvested chunk metadata; ZERO device access, so this works
+        with the mesh gone), plus the engine's pending queue and the
+        driver's unreleased queue. Feed them to a fresh engine via
+        ``submit_request`` after re-forming a mesh / reloading params
+        from checkpoint; requests that had progressed resume instead of
+        restarting."""
+        assert self.failed, "recover_requests() is the failure path"
+        assert self.is_primary, "only host 0 owns request state"
+        recovered = self.engine.drain_requests()
+        for rid, ids, mn in self._queue:
+            recovered.append(Request(rid, ids, mn, time.perf_counter()))
+        self._queue.clear()
+        return recovered
 
     def run_until_idle(self, max_rounds: int = 10_000) -> int:
         """Drain. Do-while shape: EVERY host must enter the first round

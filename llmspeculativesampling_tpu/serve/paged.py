@@ -1004,6 +1004,34 @@ class PagedEngine:
             raise ValueError("request exceeds max pages per request")
         self._pending.append(Request(rid, ids, max_new, time.perf_counter()))
 
+    def submit_request(self, req: Request):
+        """Inject a recovered (possibly resume-carrying) Request — the
+        multi-host failover path (serve/multihost.py recover_requests):
+        a fresh engine continues preempted work bit-for-bit via the
+        carried committed tokens + evolved PRNG key."""
+        self._pending.append(req)
+
+    def drain_requests(self) -> list:
+        """Empty the engine's host scheduler into resumable Requests:
+        preempt every running row (resume snapshot from the last
+        harvested chunk metadata — no device access, so this works even
+        when the mesh died mid-run), cancel staged admissions back to
+        their original Requests, and hand back the pending queue. Used
+        by multi-host failure recovery."""
+        for row in range(self.batch_rows):
+            if self._row_req[row] is not None:
+                self._preempt_row(row)
+        for st in list(self._staged):
+            for row, req, _p, _pl, blocks, _c, _h in st["batch"]:
+                self._allocs[row // self._rows_local].free(blocks)
+                self._row_resv[row] = None
+                self._row_blocks[row] = None
+                self._pending.appendleft(req)
+            self._staged.remove(st)
+        out = list(self._pending)
+        self._pending.clear()
+        return out
+
     @property
     def num_active(self) -> int:
         # reserved rows (mid-staged-prefill) count as active: they hold

@@ -39,9 +39,15 @@ def main():
     # before the first backend touch or the distributed client never wires
     # into the CPU backend (process_count would stay 1)
     jax.config.update("jax_platforms", "cpu")
+    dist_kw = {}
+    if mode == "paged_kill":
+        # the kill drill must exercise the DRIVER's failure detection:
+        # park the coordination service's own watchdog far out so it
+        # doesn't fatally terminate the surviving worker first
+        dist_kw = dict(heartbeat_timeout_seconds=3600)
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}",
-        num_processes=nprocs, process_id=pid)
+        num_processes=nprocs, process_id=pid, **dist_kw)
     assert jax.process_count() == nprocs, jax.process_count()
 
     import numpy as np
@@ -64,6 +70,9 @@ def main():
         return
     if mode == "paged_driver":
         run_paged_driver(pid, mesh, out_path)
+        return
+    if mode == "paged_kill":
+        run_paged_kill(pid, out_path)
         return
 
     engine, prompts = build_engine(mesh=mesh)
@@ -148,6 +157,87 @@ def run_paged_driver(pid, mesh, out_path):
     with open(out_path, "w") as f:
         json.dump(out, f)
     print(f"worker {pid} done", flush=True)
+
+
+KILL_AFTER_ROUNDS = 4
+# the kill drill adds two more requests so queue + rows + staged states
+# all hold work at the moment of failure (shared with the test's
+# unfailed reference run)
+EXTRA_PROMPTS = [list(range(90, 101)), list(range(110, 119))]
+
+
+def run_paged_kill(pid, out_path):
+    """Failure drill (VERDICT r4 ask #6 / SURVEY.md §5 'health-checked
+    multi-host serving loop'): worker 1 dies mid-run after
+    KILL_AFTER_ROUNDS lockstep rounds; worker 0 must DETECT the loss
+    (per-round broadcast heartbeat -> WorkerLostError), REQUEUE all
+    outstanding work (running rows preempted into resume Requests from
+    the last harvested snapshot), and COMPLETE it on a fresh engine
+    (deterministic rebuild = the reload-from-checkpoint analogue) with
+    outputs matching an unfailed run."""
+    import json
+
+    from llmspeculativesampling_tpu.serve.multihost import (
+        PagedMultiHostDriver, WorkerLostError,
+    )
+
+    engine, prompts = build_paged_engine()
+    prompts = prompts + EXTRA_PROMPTS
+    driver = PagedMultiHostDriver(engine, prompt_cap=32, batch_cap=2,
+                                  heartbeat_timeout_s=30.0)
+    rids = []
+    if driver.is_primary:
+        rids = [driver.submit(p, 16) for p in prompts]
+
+    rounds = 0
+    failed = False
+    try:
+        while rounds < 200:
+            driver.round()
+            rounds += 1
+            if pid == 1 and rounds >= KILL_AFTER_ROUNDS:
+                import os as _os
+
+                print("worker 1 dying mid-run", flush=True)
+                _os._exit(17)
+            if driver.is_primary and not (
+                    driver._more_queued or engine._pending
+                    or engine.num_active or driver._queue):
+                break
+    except WorkerLostError as e:
+        failed = True
+        print(f"worker 0 detected peer loss after {rounds} rounds: {e}",
+              flush=True)
+
+    out = {"process": pid, "rounds": rounds, "detected_failure": failed,
+           "completions": {}, "resumed_with_progress": 0}
+    if driver.is_primary:
+        assert failed, "worker 0 was meant to outlive worker 1 and detect it"
+        recovered = driver.recover_requests()
+        assert recovered, "outstanding work must be preserved"
+        out["recovered_requests"] = len(recovered)
+        out["resumed_with_progress"] = sum(
+            1 for r in recovered if r.carry is not None)
+        # completions harvested before the failure stay valid
+        pre = {rid: engine.result(rid) for rid in rids}
+        # fresh engine, deterministically rebuilt (= reload checkpoint)
+        engine2, _ = build_paged_engine()
+        for req in recovered:
+            engine2.submit_request(req)
+        engine2.run_until_idle()
+        for rid in rids:
+            c = pre.get(rid) or engine2.result(rid)
+            assert c is not None, f"rid {rid} lost across the failure"
+            out["completions"][str(rid)] = c.output_ids.tolist()
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    print(f"worker {pid} done", flush=True)
+    import os as _os
+
+    # skip jax.distributed teardown: the shutdown barrier can never
+    # complete with a dead peer and would turn a successful recovery
+    # into a nonzero exit
+    _os._exit(0)
 
 
 def build_paged_engine(mesh=None):

@@ -191,6 +191,63 @@ def test_two_process_paged_sharded(tmp_path):
             np.asarray(res[0]["completions"][str(rid)]), ref.output_ids)
 
 
+def test_worker_death_recovery(tmp_path):
+    """VERDICT r4 ask #6 (SURVEY.md §5 'health-checked multi-host serving
+    loop'): worker 1 dies mid-run; worker 0 must DETECT the loss through
+    the per-round broadcast heartbeat (WorkerLostError), REQUEUE every
+    outstanding request (running rows become resume Requests carrying
+    their committed tokens + evolved PRNG key — no device access), and
+    COMPLETE them on a deterministically rebuilt engine. Outputs must be
+    bit-identical to an unfailed single-process run."""
+    port = _free_port()
+    outs = [str(tmp_path / f"kd{i}.json") for i in range(2)]
+    env = {**os.environ,
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "",
+           "JAX_CPU_COLLECTIVES_IMPLEMENTATION": "gloo"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port), outs[i],
+             "paged_kill"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            log, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(log)
+    assert procs[1].returncode == 17, f"worker 1 should die:\n{logs[1][-2000:]}"
+    assert procs[0].returncode == 0, f"worker 0 failed:\n{logs[0][-4000:]}"
+
+    res0 = json.load(open(outs[0]))
+    assert res0["detected_failure"]
+    assert res0["recovered_requests"] >= 1
+    assert res0["resumed_with_progress"] >= 1  # mid-flight work RESUMED,
+    # not restarted (carry = committed tokens + evolved key)
+    assert len(res0["completions"]) == 6
+
+    # unfailed single-process reference: identical outputs
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from multihost_worker import EXTRA_PROMPTS, build_paged_engine
+    from llmspeculativesampling_tpu.serve.multihost import PagedMultiHostDriver
+
+    engine, prompts = build_paged_engine()
+    driver = PagedMultiHostDriver(engine, prompt_cap=32, batch_cap=2)
+    rids = [driver.submit(p, 16) for p in prompts + EXTRA_PROMPTS]
+    driver.run_until_idle()
+    for rid in rids:
+        ref = driver.result(rid)
+        assert ref is not None
+        np.testing.assert_array_equal(
+            np.asarray(res0["completions"][str(rid)]), ref.output_ids)
+
+
 def test_two_process_paged_driver(tmp_path):
     """PagedMultiHostDriver across two real processes: host 0 owns the
     queue and releases requests in broadcast plans (batch_cap=2 so the
