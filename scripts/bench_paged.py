@@ -33,9 +33,14 @@ import jax
 
 def _workload(kind: str, rng):
     """List of (prompt_len, max_new). Mixed: 24 short turns + 6 long-context.
-    shared_prefix: one hot 512-token system prompt + unique 64-token tails."""
+    shared_prefix: one hot 512-token system prompt + unique 64-token tails.
+    longgen: 24 long GENERATIONS (64-token prompt, 256 new) — the shape
+    where on-demand paging's admission-depth win lives (worst-case
+    reservation is 2.8x the prompt+runway reserve)."""
     if kind == "shared_prefix":
         return [(576, 48) for _ in range(24)]
+    if kind == "longgen":
+        return [(64, 256) for _ in range(24)]
     if kind == "mixed":
         short = [(64, int(rng.integers(24, 49))) for _ in range(24)]
         long_ = [(512, 128) for _ in range(6)]
@@ -87,7 +92,8 @@ def _run_reps(engine, reqs, make_prompts, n_reps: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", choices=["tiny", "1.1b", "13b"], default="1.1b")
-    ap.add_argument("--workload", choices=["mixed", "uniform", "shared_prefix"],
+    ap.add_argument("--workload",
+                    choices=["mixed", "uniform", "shared_prefix", "longgen"],
                     default="mixed")
     ap.add_argument("--prefix_cache", action="store_true",
                     help="enable automatic prefix caching in the paged engine")

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--config", choices=["1.1b", "13b"], default="1.1b",
                     help="13b: born-int8 Llama-2-13B-shaped target "
                          "(core/synthetic.py); KV budget then forces few slots")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="replays of the workload; aggregates report "
+                         "median + {n_reps,min,max} spread (VERDICT r4 #7 "
+                         "— the tunnel swings serving walls like it does "
+                         "single-stream reps)")
     args = ap.parse_args()
 
     import dataclasses
@@ -68,35 +73,55 @@ def main():
     )
     eng.warmup(prompt_len=args.prompt_len)
 
-    t0 = time.perf_counter()
-    for p in prompts:
-        eng.submit(p, args.max_new)
-    steps = eng.run_until_idle()
-    wall = time.perf_counter() - t0
-    comps = [eng.result(r) for r in sorted(eng.completions.keys())] if eng.completions else []
-    comps = [c for c in comps if c]
-    toks = sum(c.details["tokens_generated"] for c in comps)
-    ttfts = sorted(c.details["ttft_s"] for c in comps)
-    lats = sorted(c.details["latency_s"] for c in comps)
-    print(f"batched : slots={args.num_slots} reqs={len(comps)} steps={steps} "
+    def one_batched_rep(rep):
+        ps = (prompts if rep == 0 else
+              [np.random.default_rng(1000 + rep).integers(
+                  100, 31000, args.prompt_len).astype(np.int32)
+               for _ in range(args.requests)])
+        t0 = time.perf_counter()
+        for p in ps:
+            eng.submit(p, args.max_new)
+        steps = eng.run_until_idle()
+        wall = time.perf_counter() - t0
+        comps = [eng.result(r) for r in sorted(eng.completions.keys())]
+        comps = [c for c in comps if c]
+        toks = sum(c.details["tokens_generated"] for c in comps)
+        return dict(steps=steps, wall=wall, tps=toks / wall, toks=toks,
+                    comps=comps)
+
+    reps = [one_batched_rep(r) for r in range(max(args.reps, 1))]
+    tps_all = sorted(r["tps"] for r in reps)
+    med = reps[[r["tps"] for r in reps].index(tps_all[len(tps_all) // 2])]
+    toks, wall, steps = med["toks"], med["wall"], med["steps"]
+    ttfts = sorted(c.details["ttft_s"] for c in med["comps"])
+    lats = sorted(c.details["latency_s"] for c in med["comps"])
+    print(f"batched : slots={args.num_slots} reqs={len(med['comps'])} steps={steps} "
           f"tokens={toks} wall={wall:.2f}s -> {toks/wall:.1f} tok/s  "
           f"ttft p50={ttfts[len(ttfts)//2]*1e3:.0f}ms p95={ttfts[int(len(ttfts)*0.95)]*1e3:.0f}ms  "
-          f"lat p50={lats[len(lats)//2]:.2f}s", flush=True)
+          f"lat p50={lats[len(lats)//2]:.2f}s  "
+          f"[reps={len(reps)} min={tps_all[0]:.1f} "
+          f"med={tps_all[len(tps_all)//2]:.1f} max={tps_all[-1]:.1f}]",
+          flush=True)
 
     # ---- sequential single-stream (reference serving model)
     kw = dict(eos_token_id=2, temperature=1.0, top_k=20, top_p=0.9)
     _ = speculative_generate(bd, pd, bt, pt, prompts[0], args.max_new,
                              gamma=args.gamma, key=jax.random.key(0), **kw)
-    t0 = time.perf_counter()
-    toks_seq = 0
-    for i, p in enumerate(prompts):
-        out = speculative_generate(bd, pd, bt, pt, p, args.max_new,
-                                   gamma=args.gamma, key=jax.random.key(i), **kw)
-        toks_seq += len(out) - len(p)
-    wall_seq = time.perf_counter() - t0
-    print(f"sequential: tokens={toks_seq} wall={wall_seq:.2f}s -> "
-          f"{toks_seq/wall_seq:.1f} tok/s", flush=True)
-    print(f"speedup: {(toks/wall)/(toks_seq/wall_seq):.2f}x", flush=True)
+    seq_rates = []
+    for rep in range(max(args.reps, 1)):
+        t0 = time.perf_counter()
+        toks_seq = 0
+        for i, p in enumerate(prompts):
+            out = speculative_generate(bd, pd, bt, pt, p, args.max_new,
+                                       gamma=args.gamma, key=jax.random.key(i), **kw)
+            toks_seq += len(out) - len(p)
+        seq_rates.append(toks_seq / (time.perf_counter() - t0))
+    seq_rates.sort()
+    seq_med = seq_rates[len(seq_rates) // 2]
+    print(f"sequential: -> {seq_med:.1f} tok/s  "
+          f"[reps={len(seq_rates)} min={seq_rates[0]:.1f} "
+          f"med={seq_med:.1f} max={seq_rates[-1]:.1f}]", flush=True)
+    print(f"speedup: {(toks/wall)/seq_med:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
