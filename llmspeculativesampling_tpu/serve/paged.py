@@ -1164,9 +1164,12 @@ class PagedEngine:
                 continue
             # coverage target: two chunks of worst-case advance past the
             # last KNOWN length, capped at the request's final length
-            # plus one chunk of draft/bonus overrun
+            # plus one chunk of draft/bonus overrun — and at the block
+            # table's width (submit() guarantees the request itself fits
+            # t_max; the overrun margin must not push past it)
             need = min(self._row_len[row] + 2 * self._chunk_runway,
-                       self._target_total(req) + self._chunk_runway)
+                       self._target_total(req) + self._chunk_runway,
+                       self.t_max)
             shard = row // self._rows_local
             alloc = self._allocs[shard]
             while (self._row_req[row] is not None

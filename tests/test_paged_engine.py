@@ -430,6 +430,21 @@ def test_preemption_parity_with_unpreempted_run():
     assert eng_small.allocator.free_blocks == 10
 
 
+def test_runway_clamps_to_table_width():
+    """Regression: the runway overrun margin must clamp to t_max —
+    with target_total + chunk_runway > max_pages*page, growth overflowed
+    the block-table row and crashed admission at 13B bench configs."""
+    eng = _engine(on_demand=True, batch_rows=2, num_blocks=16, page=16,
+                  max_pages_per_req=6, max_new_cap=64, gamma=3,
+                  steps_per_sync=4)
+    # target_total = 20 + 60 = 80; +runway 20 = 100 > t_max 96
+    rid = eng.submit(list(range(5, 25)), max_new_tokens=60)
+    eng.run_until_idle()
+    c = eng.result(rid)
+    assert c is not None and c.details["tokens_generated"] >= 60
+    assert eng.allocator.free_blocks == 16
+
+
 def test_chunked_prefill_interleaves_and_matches():
     """VERDICT r4 ask #5 (SARATHI): with chunked_prefill=True a long cold
     prompt's prefill runs as extend-window dispatches interleaved with
