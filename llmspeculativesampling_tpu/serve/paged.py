@@ -727,16 +727,15 @@ class PagedEngine:
         # committed-rate prior for every arm during the wave the engine
         # must serve anyway. Rotation then settles on the prior-best arm
         # so the ramp->explore transition lands on it without an
-        # arm-switch resync. Full-epoch exploration afterwards is limited
-        # to PLAUSIBLE contenders: arms whose chunk rate is within
-        # 1/1.4 of the prior best (the chunk-vs-epoch misranking measured
-        # in round 3 is a turnover effect of ~30%, not 2x — an arm 40%
-        # behind on chunks cannot win the epoch comparison). Implausible
-        # arms still get real epoch measurements eventually via the lazy
-        # reprobe cycle.
+        # arm-switch resync. Full-epoch exploration afterwards follows
+        # the DOMINANCE rule (see _epoch_tick): arms deeper than the
+        # chunk-prior best are dominated (worse on chunks AND slower
+        # turnover) and skip their up-front epoch + drain; shallower
+        # arms — the ones chunk rates structurally under-rank — are
+        # always epoch-measured. Skipped arms still get real epoch
+        # measurements eventually via the lazy reprobe cycle.
         self._ramp_chunks = 0
         self._ramp_rotations = 2      # full cycles through the arms
-        self._ep_plausibility = 1.4
         self._best_wall_pc = None     # best observed wall per completion
         self._ep_history = []         # per-epoch observability records
         self._resync = False          # one-shot admission re-sync flag
@@ -1729,17 +1728,24 @@ class PagedEngine:
         # per-chunk prior, best-looking first — the prior covers every
         # arm thanks to the rotated ramp), then exploit the best epoch
         # rate with a periodic probe so drifting workloads are tracked.
-        # Arms >1.4x behind the prior best on chunk rate skip up-front
-        # epoch exploration (each such epoch + its resync drain costs a
-        # full wave); the reprobe cycle measures them lazily.
+        # Plausibility is the DOMINANCE rule, not a rate threshold: chunk
+        # rates systematically over-rank DEEPER arms (they cannot see
+        # request-turnover effects — the round-3 structural failure, and
+        # a measured ~45% bias on the uniform 13B workload where a 1.4x
+        # rate gate wrongly excluded the true-best shallow arm), so an
+        # arm SHALLOWER than the chunk-prior best must always be epoch-
+        # measured, while an arm DEEPER than the chunk best is dominated
+        # twice (worse on raw chunk throughput AND slower turnover) and
+        # skips its up-front epoch + resync drain; the reprobe cycle
+        # still measures it lazily.
         prior = sorted(self._gamma_choices,
                        key=lambda g: self._arm_rate.get(g, float("-inf")),
                        reverse=True)
-        best_chunk = self._arm_rate.get(prior[0])
+        chunk_best = prior[0]
+
         def _plausible(g):
-            r = self._arm_rate.get(g)
-            return (r is None or best_chunk is None
-                    or r >= best_chunk / self._ep_plausibility)
+            return (g <= chunk_best
+                    or self._arm_rate.get(g) is None)
         unexplored = [g for g in prior
                       if g not in self._ep_rate and _plausible(g)]
         prev_gamma = self.gamma
