@@ -144,11 +144,33 @@ def _paged_spec_step(
 ):
     tokens, cur_len = state.tokens, state.cur_len
     b = tokens.shape[0]
+
+    # DEAD rows (inactive or done) must not touch the pools: the batched
+    # draft/verify phases run every row, and a harvested row's table
+    # still points at FREED blocks — its stale writes clobber whichever
+    # newly admitted row now owns those pages (observed as a scheduling-
+    # cadence-dependent token flip: a tail-idle row kept rewriting
+    # positions inside a live request's reused pages). Gate dead rows'
+    # tables to the out-of-range sentinel: scatters drop, gathers clip
+    # to garbage that the per-row length mask already hides, and the
+    # row's outputs are discarded by ``keep`` anyway. Re-admission
+    # reinstalls real tables (_admit_tables / _flush_maintenance).
+    live = state.active & jnp.logical_not(state.done)
+
+    def _gate(cache):
+        pool = cache.k_q if hasattr(cache, "k_q") else cache.k
+        sent = jnp.int32(pool.shape[1])
+        return dataclasses.replace(
+            cache,
+            block_tables=jnp.where(live[:, None], cache.block_tables, sent),
+        )
+
     tokens2, draft_cache, q_stack, drafts, keys = _draft_phase_batched(
-        bundle_d, params_d, scfg, gamma, tokens, cur_len, state.draft_cache, state.key
+        bundle_d, params_d, scfg, gamma, tokens, cur_len, _gate(state.draft_cache),
+        state.key
     )
     p_stack, target_cache = _verify_phase_batched(
-        bundle_t, params_t, scfg, gamma, tokens2, cur_len, state.target_cache
+        bundle_t, params_t, scfg, gamma, tokens2, cur_len, _gate(state.target_cache)
     )
 
     # accept/resample math is cache-free -> reuse the single-request
@@ -632,6 +654,7 @@ class PagedEngine:
         adaptive_gamma=None,
         adaptive_gamma_mode: str = "epoch",
         on_demand: bool = True,
+        overcommit: float = 1.0,
         chunked_prefill: bool = False,
     ):
         self.bundle_d, self.params_d = bundle_d, params_d
@@ -885,7 +908,24 @@ class PagedEngine:
         # and the resumed run replays bit-identically (determinism; see
         # tests/test_paged_engine.py preemption parity). on_demand=False
         # keeps legacy worst-case reservation for A/B measurement.
+        #
+        # ``overcommit`` gates ADMISSION on worst-case COMMITMENT
+        # accounting: a request is admitted only while
+        # Σ(resident rows' worst-case pages) + its own ≤ pool ×
+        # overcommit. Default 1.0 = never admit beyond what the pool can
+        # sustain at full length — zero steady-state preemptions, same
+        # admission depth as legacy, but pages physically allocate lazily
+        # (unreached tails stay free for the prefix-cache registry and
+        # early-EOS headroom). overcommit > 1 admits deeper (much better
+        # TTFT) and pays preemption churn when requests actually run to
+        # their worst case — MEASURED on the EOS-less longgen 13B
+        # workload: overcommit 2 served 131 tok/s vs 540 legacy (18
+        # preempt/replay cycles); it is a knob for EOS-heavy traffic
+        # where typical lengths sit far below max_new, not a default.
         self.on_demand = bool(on_demand)
+        self.overcommit = float(overcommit)
+        self._commit_pages = [0] * self.dp   # per-shard worst-case pages
+        self._row_commit: list[int] = [0] * batch_rows
         # SARATHI-style chunked COLD prefill (VERDICT r4 ask #5): with
         # chunked_prefill=True, a cold admission whose uncached prompt
         # suffix exceeds extend_chunk tokens is STAGED — its prefill runs
@@ -901,6 +941,7 @@ class PagedEngine:
         self._row_resv: list[Optional[Request]] = [None] * batch_rows
         self.interleaved_chunks = 0
         gam_max = max(self._gamma_choices) if self._gamma_choices else gamma
+        self._gam_max = gam_max
         self._chunk_runway = self.steps_per_sync * (gam_max + 1) + gam_max + 1
         self._row_len: list[int] = [0] * b
         self._row_done: list[bool] = [False] * b
@@ -1022,7 +1063,10 @@ class PagedEngine:
                 self._preempt_row(row)
         for st in list(self._staged):
             for row, req, _p, _pl, blocks, _c, _h in st["batch"]:
-                self._allocs[row // self._rows_local].free(blocks)
+                shard = row // self._rows_local
+                self._allocs[shard].free(blocks)
+                self._commit_pages[shard] -= self._row_commit[row]
+                self._row_commit[row] = 0
                 self._row_resv[row] = None
                 self._row_blocks[row] = None
                 self._pending.appendleft(req)
@@ -1067,7 +1111,8 @@ class PagedEngine:
                     break
                 gam_max = (max(self._gamma_choices) if self._gamma_choices
                            else self.gamma)
-                total = p_len + nxt.max_new_tokens + gam_max + 1
+                worst_total = p_len + nxt.max_new_tokens + gam_max + 1
+                total = worst_total
                 if self.on_demand:
                     # reserve prompt + a two-chunk decode runway only;
                     # _ensure_runway appends pages as the row grows
@@ -1089,6 +1134,15 @@ class PagedEngine:
                         continue
                     tried_shards.add(shard)
                     alloc = self._allocs[shard]
+                    wp = alloc.pages_needed(worst_total)
+                    if self.on_demand and (
+                            self._commit_pages[shard] + wp
+                            > alloc.num_blocks * self.overcommit):
+                        # commitment watermark: the shard could not
+                        # sustain this request at full length without
+                        # preempting (see the overcommit note in
+                        # __init__) — keep it queued
+                        continue
                     if self.prefix_cache:
                         got = alloc.alloc_shared(total, hashes)
                         if got is None:
@@ -1099,6 +1153,11 @@ class PagedEngine:
                         if blocks is None:
                             continue
                     row = cand
+                    if self.on_demand:
+                        # charge NOW so later admissions in this same
+                        # batch see the commitment
+                        self._commit_pages[shard] += wp
+                        self._row_commit[row] = wp
                     break
                 if row is None:
                     break  # every shard with a free row is full: keep queued
@@ -1162,12 +1221,15 @@ class PagedEngine:
             if req is None or self._row_done[row]:
                 continue
             # coverage target: two chunks of worst-case advance past the
-            # last KNOWN length, capped at the request's final length
-            # plus one chunk of draft/bonus overrun — and at the block
-            # table's width (submit() guarantees the request itself fits
-            # t_max; the overrun margin must not push past it)
+            # last KNOWN length, capped at the request's worst case
+            # (target_total + gamma + 1 — KV writes never pass
+            # target_len + gamma, and this cap must EQUAL the admission
+            # commitment basis or growth exceeds commitment and
+            # overcommit=1.0 still preempts: measured 12 preemptions on
+            # the mixed 13B workload with a chunk_runway margin here) and
+            # at the block table's width
             need = min(self._row_len[row] + 2 * self._chunk_runway,
-                       self._target_total(req) + self._chunk_runway,
+                       self._target_total(req) + self._gam_max + 1,
                        self.t_max)
             shard = row // self._rows_local
             alloc = self._allocs[shard]
@@ -1257,6 +1319,8 @@ class PagedEngine:
                 carry=carry, orig_prompt_len=orig_plen,
             )
         self._allocs[shard].free(self._row_blocks[row])
+        self._commit_pages[shard] -= self._row_commit[row]
+        self._row_commit[row] = 0
         self._row_req[row] = None
         self._row_blocks[row] = None
         self._row_gen[row] += 1
@@ -1515,6 +1579,8 @@ class PagedEngine:
                     "prefix_cached_tokens", req.cached_len),
             }
             self.completions[req.rid] = Completion(req.rid, out, orig_plen, details)
+            self._commit_pages[row // self._rows_local] -= self._row_commit[row]
+            self._row_commit[row] = 0
             # _resync: the drain after an arm switch belongs to the OLD
             # arm; accumulating it would charge the drain to the NEW
             # arm's epoch (ADVICE r4 — the same '634 read as 499'

@@ -86,7 +86,7 @@ def run_config(Instrumented, bd, pd, bt, pt, args, chunked: bool):
         max_new_cap=64, gamma=args.gamma, eos_token_id=2, top_k=20,
         top_p=0.9, prompt_bucket=64, steps_per_sync=args.steps_per_sync,
         kv_quant=args.kv_int8, extend_chunk=args.extend_chunk,
-        chunked_prefill=chunked,
+        chunked_prefill=chunked, overcommit=args.overcommit,
     )
     eng.warmup(prompt_lens=sorted({pl for pl, _ in schedule}))
     eng.reset_instr()
@@ -141,6 +141,7 @@ def main():
     ap.add_argument("--steps_per_sync", type=int, default=4)
     ap.add_argument("--extend_chunk", type=int, default=64)
     ap.add_argument("--kv_int8", action="store_true")
+    ap.add_argument("--overcommit", type=float, default=1.0)
     args = ap.parse_args()
 
     print("device:", jax.devices()[0].device_kind, flush=True)

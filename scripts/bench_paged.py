@@ -127,6 +127,10 @@ def main():
     ap.add_argument("--on_demand", choices=["on", "off"], default="on",
                     help="on-demand page allocation + preemption (r5); "
                          "'off' = legacy worst-case reservation")
+    ap.add_argument("--overcommit", type=float, default=1.0,
+                    help="admission commitment watermark (1.0 = never "
+                         "admit beyond sustainable worst case; >1 trades "
+                         "preemption churn for TTFT on EOS-heavy traffic)")
     ap.add_argument("--chunked_prefill", action="store_true",
                     help="SARATHI-style staged cold prefill (r5)")
     ap.add_argument("--reps", type=int, default=1,
@@ -247,7 +251,7 @@ def main():
             kv_quant=args.kv_int8, prefix_cache=args.prefix_cache,
             pool_pad_128=pool_pad, adaptive_gamma=agam,
             adaptive_gamma_mode=args.adaptive_mode,
-            on_demand=args.on_demand == "on",
+            on_demand=args.on_demand == "on", overcommit=args.overcommit,
             chunked_prefill=args.chunked_prefill, **eng_kw,
         )
         print(f"paged pools: draft D={paged.state.draft_cache.k.shape[-1] if hasattr(paged.state.draft_cache, 'k') else paged.state.draft_cache.k_q.shape[-1]}, "
