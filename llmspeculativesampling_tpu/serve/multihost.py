@@ -217,7 +217,15 @@ class PagedMultiHostDriver:
         # failure detection (SURVEY.md §5): the per-round broadcast IS the
         # heartbeat — a peer that dies either resets the collective
         # (immediate error) or leaves it hanging past this timeout;
-        # both classify as WorkerLostError with host state preserved
+        # both classify as WorkerLostError with host state preserved.
+        # Coverage caveat: the timeout watchdog wraps only the broadcast;
+        # collectives INSIDE eng.step() surface errors (classified below)
+        # but on transports where a dead-peer collective hangs rather
+        # than errors, detection waits until the next round's broadcast —
+        # and a step that hangs forever needs an external supervisor
+        # timeout (jax collectives cannot be safely interrupted
+        # in-thread). Worst-case detection latency is therefore one
+        # round + heartbeat_timeout_s.
         self.heartbeat_timeout_s = heartbeat_timeout_s
         self.failed = False
         self.is_primary = jax.process_index() == 0
@@ -231,7 +239,7 @@ class PagedMultiHostDriver:
             raise ValueError(f"prompt longer than prompt_cap={self.prompt_cap}")
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append((rid, ids, int(max_new_tokens)))
+        self._queue.append((rid, ids, int(max_new_tokens), time.perf_counter()))
         return rid
 
     def _build_plan(self):
@@ -246,7 +254,7 @@ class PagedMultiHostDriver:
         if self.is_primary:
             n_planned = min(k, len(self._queue))
             for j in range(n_planned):
-                rid, ids, mn = self._queue[j]
+                rid, ids, mn, _t0 = self._queue[j]
                 rids[j] = rid
                 p_lens[j] = ids.shape[0]
                 max_new[j] = mn
@@ -289,7 +297,15 @@ class PagedMultiHostDriver:
             try:
                 eng.step()
             except Exception as e:  # noqa: BLE001
-                if jax.process_count() > 1:
+                # classify only RUNTIME/transport failures as peer loss —
+                # host-side scheduling errors (ValueError, the engine's
+                # own capacity RuntimeError, ...) must surface as
+                # themselves, or a config bug becomes an endless
+                # detect-recover loop
+                mod = type(e).__module__ or ""
+                is_runtime = (mod.startswith(("jax", "jaxlib"))
+                              or isinstance(e, OSError))
+                if jax.process_count() > 1 and is_runtime:
                     # a collective inside the sharded step failing means a
                     # peer went away mid-chunk; host scheduler state is
                     # still coherent as of the last consumed chunk
@@ -312,8 +328,10 @@ class PagedMultiHostDriver:
         assert self.failed, "recover_requests() is the failure path"
         assert self.is_primary, "only host 0 owns request state"
         recovered = self.engine.drain_requests()
-        for rid, ids, mn in self._queue:
-            recovered.append(Request(rid, ids, mn, time.perf_counter()))
+        for rid, ids, mn, t0 in self._queue:
+            # original submit time rides along so post-recovery TTFT /
+            # latency metrics stay honest for the longest waiters
+            recovered.append(Request(rid, ids, mn, t0))
         self._queue.clear()
         return recovered
 

@@ -1134,15 +1134,6 @@ class PagedEngine:
                         continue
                     tried_shards.add(shard)
                     alloc = self._allocs[shard]
-                    wp = alloc.pages_needed(worst_total)
-                    if self.on_demand and (
-                            self._commit_pages[shard] + wp
-                            > alloc.num_blocks * self.overcommit):
-                        # commitment watermark: the shard could not
-                        # sustain this request at full length without
-                        # preempting (see the overcommit note in
-                        # __init__) — keep it queued
-                        continue
                     if self.prefix_cache:
                         got = alloc.alloc_shared(total, hashes)
                         if got is None:
@@ -1152,6 +1143,24 @@ class PagedEngine:
                         blocks = alloc.alloc(total)
                         if blocks is None:
                             continue
+                    # commitment watermark: the shard must be able to
+                    # sustain this request at full length without
+                    # preempting (see the overcommit note in __init__).
+                    # Prefix-SHARED pages are excluded — they were
+                    # committed by their first holder, and double-
+                    # charging every sharer would admit FEWER requests
+                    # than legacy reservation on shared-prefix
+                    # workloads. (When the first holder leaves while
+                    # sharers remain, those pages briefly go
+                    # uncommitted — a bounded exposure the preemption
+                    # safety net covers.)
+                    wp = alloc.pages_needed(worst_total) - cached_len // self.page
+                    if self.on_demand and (
+                            self._commit_pages[shard] + wp
+                            > alloc.num_blocks * self.overcommit):
+                        alloc.free(blocks)
+                        blocks, cached_len = None, 0
+                        continue  # keep queued; try another shard
                     row = cand
                     if self.on_demand:
                         # charge NOW so later admissions in this same

@@ -410,14 +410,38 @@ def make_http_server(server, host: str = "0.0.0.0",
                     # decode cumulatively and emit the text SUFFIX per
                     # event: BPE/byte-level tokenizers produce wrong text
                     # when chunks are decoded in isolation (split
-                    # multi-byte chars, leading-space markers; ADVICE r4)
+                    # multi-byte chars, leading-space markers; ADVICE r4).
+                    # Bounded cost: once the live tail exceeds 384
+                    # tokens, everything but the last 128 is FROZEN
+                    # (decoded once) — re-decoding the whole sequence per
+                    # event is O(n^2) over a long stream, and tokenizer
+                    # context effects never reach 128 tokens back.
                     all_ids: list = []
-                    prev_text = ""
+                    frozen_n, frozen_text, prev_text = 0, "", ""
                     for chunk in server.process_request_stream(req):
                         ev = {"token_ids": np.asarray(chunk).tolist()}
                         if tok is not None:
                             all_ids.extend(ev["token_ids"])
-                            full = tok.decode(all_ids, skip_special_tokens=True)
+                            if len(all_ids) - frozen_n > 384:
+                                # freeze only at a SEAM-SAFE cut: the
+                                # local split must reproduce the joined
+                                # decode (BPE boundary / leading-space
+                                # effects), else retry next event
+                                cut = len(all_ids) - 128
+                                w0 = max(frozen_n, cut - 8)
+                                joined = tok.decode(
+                                    all_ids[w0:cut + 8], skip_special_tokens=True)
+                                split = (tok.decode(all_ids[w0:cut],
+                                                    skip_special_tokens=True)
+                                         + tok.decode(all_ids[cut:cut + 8],
+                                                      skip_special_tokens=True))
+                                if joined == split:
+                                    frozen_text += tok.decode(
+                                        all_ids[frozen_n:cut],
+                                        skip_special_tokens=True)
+                                    frozen_n = cut
+                            full = frozen_text + tok.decode(
+                                all_ids[frozen_n:], skip_special_tokens=True)
                             ev["text"] = full[len(prev_text):]
                             prev_text = full
                         emit(ev)

@@ -106,11 +106,13 @@ def run_config(Instrumented, bd, pd, bt, pt, args, chunked: bool):
             p, (_pl, mn) = sched.popleft()
             rids.append(eng.submit(p, mn))
     wall = time.perf_counter() - t0
-    comps = [eng.result(r) for r in rids]
-    comps = [c for c in comps if c is not None]
+    # pair completions with their schedule entry BEFORE None-filtering —
+    # a filtered zip would misattribute every row after a missing one
+    paired = [(eng.result(r), schedule[i]) for i, r in enumerate(rids)]
+    comps = [c for c, _ in paired if c is not None]
     toks = sum(c.details["tokens_generated"] for c in comps)
-    long_ttfts = [c.details["ttft_s"] for c, (pl, _) in zip(comps, schedule)
-                  if pl == args.long_prompt]
+    long_ttfts = [c.details["ttft_s"] for c, (pl, _) in paired
+                  if c is not None and pl == args.long_prompt]
     steady = [g for g, adm in eng.gaps if not adm]
     admission = [g for g, adm in eng.gaps if adm]
     res = dict(

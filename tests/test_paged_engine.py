@@ -578,11 +578,12 @@ def test_adaptive_gamma_epoch_controller():
     round-3 chunk bandit structurally converged to the 2nd-best arm,
     docs/PERFORMANCE.md). Round-5 warm-start semantics (VERDICT r4 #3):
     the rotated ramp epoch closes as arm-MIXED (credits no arm, yields
-    the per-chunk prior instead), exploration is limited to PLAUSIBLE
-    contenders (chunk rate within 1/1.4 of the prior best), the
-    implausible arms are left to the lazy reprobe cycle. Drive the
-    controller's host logic directly; chunk feedback must NOT switch
-    the arm."""
+    the per-chunk prior instead), exploration follows the DOMINANCE rule
+    (arms deeper than the chunk-prior best are dominated and skip their
+    up-front epoch; shallower arms — the ones chunk rates structurally
+    under-rank — are always epoch-measured), and skipped arms are left
+    to the lazy reprobe cycle. Drive the controller's host logic
+    directly; chunk feedback must NOT switch the arm."""
     bd, pd, bt, pt = _make_pair()
     eng = PagedEngine(
         bd, pd, bt, pt, batch_rows=4, num_blocks=16, page=32,
@@ -595,8 +596,9 @@ def test_adaptive_gamma_epoch_controller():
     eng._update_gamma(acc_delta=20.0, step_delta=10.0, used_gamma=4, wall=1.0)
     assert eng.gamma == 2 and 4 in eng._arm_rate
 
-    # chunk prior as the rotated ramp would leave it: 4 best, 2 a
-    # plausible contender (50 >= 60/1.4), 8 implausible (20 < 60/1.4)
+    # chunk prior as the rotated ramp would leave it: 4 is chunk-best;
+    # 2 is shallower (always epoch-measured), 8 is deeper (dominated —
+    # skips its up-front epoch)
     eng._arm_rate.update({2: 50.0, 4: 60.0, 8: 20.0})
 
     # simulated epoch throughput per arm: 2 -> 100 tok/s, 4 -> 60, 8 -> 30
@@ -621,7 +623,7 @@ def test_adaptive_gamma_epoch_controller():
     assert run_epoch() == "mixed"      # rotated ramp epoch — NOT credited
     assert eng._ep_rate == {} and eng._ep_history[0]["gamma"] == "mixed"
     assert eng._best_wall_pc == pytest.approx(1.0 / eng._ep_size, rel=1e-2)
-    # exploration: plausible arms only, prior order — 4 then 2; the ramp
+    # exploration: dominance-filtered arms, prior order — 4 then 2; the ramp
     # already settled rotation on 4 so the first explore needs no switch
     assert eng.gamma == 4 and eng._ep_phase == "explore"
     assert run_epoch() == 4            # credits 4; next explore arm is 2
@@ -647,11 +649,11 @@ def test_adaptive_gamma_epoch_controller():
     eng._row_req[0] = object()
     assert run_epoch() == 2            # credits 2 -> exploit the best arm
     assert eng.gamma == 2 and eng._ep_phase == "exploit"
-    assert 8 not in eng._ep_rate       # implausible: no up-front epoch
+    assert 8 not in eng._ep_rate       # dominated (deeper than chunk-best): no up-front epoch
     for g in (2, 4):
         assert eng._ep_rate[g] == pytest.approx(rates[g], rel=0.2)
     # periodic probe cycles the non-incumbent arms (eventually measuring
-    # even the implausibility-skipped gamma=8), then returns to the best
+    # even the dominance-skipped gamma=8), then returns to the best
     seen = [run_epoch() for _ in range(2 * eng._ep_reprobe_every + 2)]
     assert 4 in seen and 8 in seen
     assert seen.count(2) >= 2 * (eng._ep_reprobe_every - 1)
