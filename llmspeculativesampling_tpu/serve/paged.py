@@ -65,6 +65,16 @@ class PagedBatchState(NamedTuple):
     active: jax.Array        # [B] bool
     done: jax.Array          # [B] bool
     target_len: jax.Array    # [B]
+    # rows with cur_len < prefill_to are PIGGYBACK-PREFILLING (SARATHI,
+    # chunked_prefill=True): each step their "verify window" carries the
+    # next gamma+1 PROMPT tokens through the batched target forward —
+    # the cold prompt's target KV is computed inside the verify pass the
+    # decode rows pay for anyway (zero extra weight reads) — advancing
+    # cur_len by gamma/step with no sampling effects and the PRNG key
+    # held frozen (so the eventual decode stream is bit-identical to the
+    # monolithic-prefill engine's). prefill_to == p_len for normally
+    # admitted rows, making the predicate False.
+    prefill_to: jax.Array    # [B]
     accepted: jax.Array      # [B]
     resamples: jax.Array
     bonus: jax.Array
@@ -156,22 +166,42 @@ def _paged_spec_step(
     # row's outputs are discarded by ``keep`` anyway. Re-admission
     # reinstalls real tables (_admit_tables / _flush_maintenance).
     live = state.active & jnp.logical_not(state.done)
+    # piggyback-prefilling rows (see prefill_to in PagedBatchState): the
+    # DRAFT phase must neither sample drafts into their prompt tokens
+    # nor scribble its sampled-token k/v over their (already prefilled)
+    # draft KV — gate their draft tables too. The TARGET verify pass IS
+    # their prefill and stays ungated.
+    prefilling = cur_len < state.prefill_to
 
-    def _gate(cache):
+    def _gate(cache, ok):
         pool = cache.k_q if hasattr(cache, "k_q") else cache.k
         sent = jnp.int32(pool.shape[1])
         return dataclasses.replace(
             cache,
-            block_tables=jnp.where(live[:, None], cache.block_tables, sent),
+            block_tables=jnp.where(ok[:, None], cache.block_tables, sent),
         )
 
     tokens2, draft_cache, q_stack, drafts, keys = _draft_phase_batched(
-        bundle_d, params_d, scfg, gamma, tokens, cur_len, _gate(state.draft_cache),
+        bundle_d, params_d, scfg, gamma, tokens, cur_len,
+        _gate(state.draft_cache, live & jnp.logical_not(prefilling)),
         state.key
     )
+    # restore prefilling rows' prompt tokens (the draft phase wrote its
+    # sampled drafts at cur_len..cur_len+gamma-1): their verify window
+    # must carry the PROMPT
+    tokens2 = jnp.where(prefilling[:, None], tokens, tokens2)
     p_stack, target_cache = _verify_phase_batched(
-        bundle_t, params_t, scfg, gamma, tokens2, cur_len, _gate(state.target_cache)
+        bundle_t, params_t, scfg, gamma, tokens2, cur_len,
+        _gate(state.target_cache, live)
     )
+    # the gates above are PER-STEP views — the sentinels must not
+    # persist into the carried state (a prefilling row's draft table
+    # would otherwise stay sentineled after its prefill completes and
+    # its decode would draft against garbage)
+    draft_cache = dataclasses.replace(
+        draft_cache, block_tables=state.draft_cache.block_tables)
+    target_cache = dataclasses.replace(
+        target_cache, block_tables=state.target_cache.block_tables)
 
     # accept/resample math is cache-free -> reuse the single-request
     # accept_phase (engine/speculative.py) vmapped over rows
@@ -186,18 +216,32 @@ def _paged_spec_step(
     )
     tokens3 = tok3[:, 0]
 
+    # prefilling rows: the verify wrote target KV for positions
+    # cur_len-1 .. cur_len+gamma-1, so advance gamma along the prompt;
+    # tokens stay the prompt, the PRNG key stays FROZEN (the decode
+    # stream after prefill completes must match the monolithic engine's
+    # bit-for-bit), and no sampling statistics accrue.
+    new_len = jnp.where(
+        prefilling, jnp.minimum(cur_len + gamma, state.prefill_to), new_len)
+    tokens3 = jnp.where(prefilling[:, None], tokens, tokens3)
+    keys2 = jax.random.wrap_key_data(jnp.where(
+        prefilling[:, None],
+        jax.random.key_data(state.key), jax.random.key_data(keys2)))
+
     pos = jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
     new_mask = (pos >= cur_len[:, None]) & (pos < new_len[:, None])
     done_now = jnp.any(new_mask & (tokens3 == eos_token_id), axis=1)
+    done_now = jnp.logical_and(done_now, jnp.logical_not(prefilling))
 
-    keep = state.active & jnp.logical_not(state.done)
+    keep = live
+    keep_stats = keep & jnp.logical_not(prefilling)
 
-    def sel(new, old):
-        return jnp.where(keep, new, old)
+    def sel(new, old, k=None):
+        return jnp.where(keep if k is None else k, new, old)
 
     col = jnp.minimum(state.steps, state.acc_len_hist.shape[1] - 1)
     hist = jnp.where(
-        keep[:, None],
+        keep_stats[:, None],
         state.acc_len_hist.at[jnp.arange(b), col].set(n),
         state.acc_len_hist,
     )
@@ -210,11 +254,15 @@ def _paged_spec_step(
         active=state.active,
         done=sel(jnp.logical_or(done_now, new_len >= state.target_len), state.done),
         target_len=state.target_len,
-        accepted=sel(state.accepted + n, state.accepted),
-        resamples=sel(state.resamples + jnp.where(all_acc, 0, 1), state.resamples),
-        bonus=sel(state.bonus + jnp.where(all_acc, 1, 0), state.bonus),
-        steps=sel(state.steps + 1, state.steps),
-        acc_rate_sum=sel(state.acc_rate_sum + acc_step, state.acc_rate_sum),
+        prefill_to=state.prefill_to,
+        accepted=sel(state.accepted + n, state.accepted, keep_stats),
+        resamples=sel(state.resamples + jnp.where(all_acc, 0, 1),
+                      state.resamples, keep_stats),
+        bonus=sel(state.bonus + jnp.where(all_acc, 1, 0), state.bonus,
+                  keep_stats),
+        steps=sel(state.steps + 1, state.steps, keep_stats),
+        acc_rate_sum=sel(state.acc_rate_sum + acc_step, state.acc_rate_sum,
+                         keep_stats),
         acc_len_hist=hist,
     )
 
@@ -335,17 +383,22 @@ def _paged_chunk(
 
 def _install_state(
     state: PagedBatchState, rows, tables, prompts, p_lens, max_news, keys,
-    d_cache, t_cache,
+    d_cache, t_cache, cur0=None,
 ) -> PagedBatchState:
     """Install K admitted rows' scheduler metadata (tokens, lengths, PRNG
     keys, activity flags) around already-updated caches. Padding rows
-    carry row index == B (scatters drop)."""
+    carry row index == B (scatters drop). ``cur0`` (default = p_lens)
+    is the starting cur_len — piggyback-prefilling admissions pass
+    cached_len + 1 so the rows enter the step loop mid-prompt with
+    ``prefill_to = p_lens`` marking the boundary."""
     kb = rows.shape[0]
+    if cur0 is None:
+        cur0 = p_lens
     d_cache = dataclasses.replace(
-        d_cache, lengths=d_cache.lengths.at[rows].set(p_lens, mode="drop")
+        d_cache, lengths=d_cache.lengths.at[rows].set(cur0, mode="drop")
     )
     t_cache = dataclasses.replace(
-        t_cache, lengths=t_cache.lengths.at[rows].set(p_lens, mode="drop")
+        t_cache, lengths=t_cache.lengths.at[rows].set(cur0, mode="drop")
     )
 
     t_max = state.tokens.shape[1]
@@ -358,13 +411,14 @@ def _install_state(
 
     return PagedBatchState(
         tokens=scat(state.tokens, tok_rows),
-        cur_len=scat(state.cur_len, p_lens),
+        cur_len=scat(state.cur_len, cur0),
         draft_cache=d_cache,
         target_cache=t_cache,
         key=state.key.at[rows].set(keys, mode="drop"),
         active=scat(state.active, jnp.ones((kb,), bool)),
         done=scat(state.done, jnp.zeros((kb,), bool)),
         target_len=scat(state.target_len, p_lens + max_news),
+        prefill_to=scat(state.prefill_to, p_lens),
         accepted=scat(state.accepted, zeros_k),
         resamples=scat(state.resamples, zeros_k),
         bonus=scat(state.bonus, zeros_k),
@@ -433,6 +487,35 @@ _paged_prefill = partial(
 )(_paged_prefill_body)
 
 
+def _paged_draft_extend_body(
+    params_d, state: PagedBatchState, tables, lens_now, window,
+    *, bundle_d: ModelBundle,
+):
+    """Draft-ONLY extend window: piggyback-prefilled admissions compute
+    their target KV for free inside later verify passes, but the draft
+    model (cheap — a 68m-scale draft reads ~140 MB of weights per
+    window vs the target's 13.2 GB) is prefilled up front with these
+    tiny dispatches so the first decode step has its full prefix."""
+    kb = tables.shape[0]
+
+    def k_view(cache):
+        return dataclasses.replace(
+            cache,
+            block_tables=tables.astype(jnp.int32),
+            lengths=jnp.asarray(lens_now, jnp.int32),
+        )
+
+    _, d_after = bundle_d.forward(
+        params_d, bundle_d.cfg, window, k_view(state.draft_cache))
+    return state._replace(
+        draft_cache=_transplant(state.draft_cache, d_after))
+
+
+_paged_draft_extend = partial(
+    jax.jit, static_argnames=("bundle_d",), donate_argnames=("state",)
+)(_paged_draft_extend_body)
+
+
 def _paged_extend_body(
     params_d, params_t, state: PagedBatchState, tables, lens_now, window,
     *, bundle_d: ModelBundle, bundle_t: ModelBundle,
@@ -467,13 +550,16 @@ _paged_extend_chunk = partial(
 
 def _paged_finalize_body(
     state: PagedBatchState, rows, tables, prompts, p_lens, max_news, keys,
+    cur0=None,
 ):
     """Install metadata for rows whose KV was already computed (prefix
-    cache hit + extend chunks): like _paged_prefill without the model
+    cache hit + extend chunks) or will be piggyback-prefilled
+    (``cur0`` < p_lens): like _paged_prefill without the model
     forwards."""
     d_cache, t_cache = _admit_tables(state, rows, tables)
     return _install_state(
-        state, rows, tables, prompts, p_lens, max_news, keys, d_cache, t_cache
+        state, rows, tables, prompts, p_lens, max_news, keys, d_cache, t_cache,
+        cur0=cur0,
     )
 
 
@@ -543,7 +629,8 @@ def _state_dp_specs(state: PagedBatchState):
         draft_cache=_cache_dp_specs(state.draft_cache),
         target_cache=_cache_dp_specs(state.target_cache),
         key=P(DP_AXIS), active=P(DP_AXIS), done=P(DP_AXIS),
-        target_len=P(DP_AXIS), accepted=P(DP_AXIS), resamples=P(DP_AXIS),
+        target_len=P(DP_AXIS), prefill_to=P(DP_AXIS),
+        accepted=P(DP_AXIS), resamples=P(DP_AXIS),
         bonus=P(DP_AXIS), steps=P(DP_AXIS), acc_rate_sum=P(DP_AXIS),
         acc_len_hist=rows(state.acc_len_hist),
     )
@@ -581,9 +668,13 @@ def _build_dp_fns(mesh, state, bundle_d, bundle_t, gamma, scfg, eos_token_id,
             params_d, params_t, st, tables, lens_now, window,
             bundle_d=bundle_d, bundle_t=bundle_t)
 
-    def finalize(st, rows, tables, prompts, p_lens, max_news, keys):
+    def finalize(st, rows, tables, prompts, p_lens, max_news, keys, cur0):
         return _paged_finalize_body(
-            st, rows, tables, prompts, p_lens, max_news, keys)
+            st, rows, tables, prompts, p_lens, max_news, keys, cur0=cur0)
+
+    def extend_draft(params_d, st, tables, lens_now, window):
+        return _paged_draft_extend_body(
+            params_d, st, tables, lens_now, window, bundle_d=bundle_d)
 
     def maintain(st, tables, deact):
         return _paged_maintain_body(st, tables, deact)
@@ -605,7 +696,9 @@ def _build_dp_fns(mesh, state, bundle_d, bundle_t, gamma, scfg, eos_token_id,
             make_chunk(g), (P(), P(), sspec), chunk_out, 2),
         "prefill": sm(prefill, (P(), P(), sspec) + adm, sspec, 2),
         "extend": sm(extend, (P(), P(), sspec, mat_s, rows_s, mat_s), sspec, 2),
-        "finalize": sm(finalize, (sspec,) + adm, sspec, 0),
+        "extend_draft": sm(extend_draft, (P(), sspec, mat_s, rows_s, mat_s),
+                           sspec, 1),
+        "finalize": sm(finalize, (sspec,) + adm + (rows_s,), sspec, 0),
         "maintain": sm(maintain, (sspec, mat_s, rows_s), sspec, 0),
     }
 
@@ -848,6 +941,7 @@ class PagedEngine:
             key=jax.random.split(step_key, b),
             active=jnp.zeros((b,), bool),
             done=jnp.ones((b,), bool),
+            prefill_to=jnp.zeros((b,), jnp.int32),
             target_len=jnp.full((b,), self.t_max, jnp.int32),
             accepted=jnp.zeros((b,), jnp.int32),
             resamples=jnp.zeros((b,), jnp.int32),
@@ -926,20 +1020,22 @@ class PagedEngine:
         self.overcommit = float(overcommit)
         self._commit_pages = [0] * self.dp   # per-shard worst-case pages
         self._row_commit: list[int] = [0] * batch_rows
-        # SARATHI-style chunked COLD prefill (VERDICT r4 ask #5): with
-        # chunked_prefill=True, a cold admission whose uncached prompt
-        # suffix exceeds extend_chunk tokens is STAGED — its prefill runs
-        # as extend_chunk-token window dispatches interleaved between
-        # decode chunks (one window per scheduler tick) instead of one
-        # monolithic prompt forward that stalls every running row for the
-        # whole prefill wall. The knob trades aggregate throughput
-        # (weights are re-read per window) for in-flight rows'
-        # inter-token latency; measured both ways in
-        # scripts/bench_chunked_prefill.py / docs/PERFORMANCE.md.
+        # True-SARATHI PIGGYBACK prefill (VERDICT r4 ask #5; v2 in round
+        # 5): with chunked_prefill=True, a cold admission whose uncached
+        # prompt suffix exceeds extend_chunk tokens is installed with
+        # cur_len = cached+1 and prefill_to = p_len — the decode chunks'
+        # own verify passes then compute its target KV, gamma prompt
+        # tokens per step, at ZERO extra target-weight reads (the
+        # 13.2 GB verify read happens for the decode rows regardless);
+        # only the cheap draft is prefilled up front via draft-only
+        # windows. Running rows never see a monolithic prompt forward
+        # stall, and the cold row's decode stream is bit-identical to
+        # the monolithic engine's (the PRNG key is frozen through
+        # prefill). Measured in scripts/bench_chunked_prefill.py /
+        # docs/PERFORMANCE.md.
         self.chunked_prefill = bool(chunked_prefill)
-        self._staged: list = []
-        self._row_resv: list[Optional[Request]] = [None] * batch_rows
-        self.interleaved_chunks = 0
+        self.interleaved_chunks = 0   # decode chunks that carried a
+        #                               piggyback-prefilling row
         gam_max = max(self._gamma_choices) if self._gamma_choices else gamma
         self._gam_max = gam_max
         self._chunk_runway = self.steps_per_sync * (gam_max + 1) + gam_max + 1
@@ -1061,30 +1157,16 @@ class PagedEngine:
         for row in range(self.batch_rows):
             if self._row_req[row] is not None:
                 self._preempt_row(row)
-        for st in list(self._staged):
-            for row, req, _p, _pl, blocks, _c, _h in st["batch"]:
-                shard = row // self._rows_local
-                self._allocs[shard].free(blocks)
-                self._commit_pages[shard] -= self._row_commit[row]
-                self._row_commit[row] = 0
-                self._row_resv[row] = None
-                self._row_blocks[row] = None
-                self._pending.appendleft(req)
-            self._staged.remove(st)
         out = list(self._pending)
         self._pending.clear()
         return out
 
     @property
     def num_active(self) -> int:
-        # reserved rows (mid-staged-prefill) count as active: they hold
-        # pages and the server loop must keep ticking them
-        return sum(r is not None for r in self._row_req) + sum(
-            r is not None for r in self._row_resv)
+        return sum(r is not None for r in self._row_req)
 
     def _admit(self):
-        free_rows = [i for i, r in enumerate(self._row_req)
-                     if r is None and self._row_resv[i] is None]
+        free_rows = [i for i, r in enumerate(self._row_req) if r is None]
         if self._resync:
             if len(free_rows) < min(self.batch_rows, len(self._pending)):
                 return  # hold until a full wave of rows is free
@@ -1179,10 +1261,18 @@ class PagedEngine:
             if not batch:
                 break
             inline, staged = [], []
+            # piggyback-staging exists to PROTECT decoding rows from a
+            # monolithic prompt-forward stall; with no row currently
+            # decoding there is nothing to protect and the monolithic
+            # prefill is strictly faster (piggyback advances only
+            # gamma x steps_per_sync prompt tokens per chunk)
+            decoding_rows = any(
+                r is not None and self._row_len[row] >= len(r.prompt)
+                and not self._row_done[row]
+                for row, r in enumerate(self._row_req))
             for e in batch:
-                # stage long uncached suffixes (SARATHI): their prefill
-                # interleaves with decode chunks instead of stalling them
-                if self.chunked_prefill and e[3] - e[5] > self.extend_chunk:
+                if (self.chunked_prefill and decoding_rows
+                        and e[3] - e[5] > self.extend_chunk):
                     staged.append(e)
                 else:
                     inline.append(e)
@@ -1348,11 +1438,7 @@ class PagedEngine:
                          self._table_sentinel, np.int32)
         for row in range(self.batch_rows):
             blocks = self._row_blocks[row]
-            # reserved (mid-staged-prefill) rows keep the SENTINEL on
-            # device until their finalize installs them: a decode chunk's
-            # blanket per-row cache ops would otherwise scribble into
-            # pages the staged extend windows are still filling
-            if blocks and self._row_resv[row] is None:
+            if blocks:
                 shard = row // self._rows_local
                 tables[row] = self._allocs[shard].table_row(blocks)
         deact = np.zeros((self.batch_rows,), bool)
@@ -1435,11 +1521,12 @@ class PagedEngine:
                                                        cached[: len(batch)])
         ))
 
-    def _extend_window(self, arrays, batch, j: int):
-        """Dispatch chunk ``j`` of a chunked prefill: run both models over
-        the [KB, W] prompt window at offset cached + j*W through the
-        normal paged decode path (the flash kernel's new-block ceiling is
-        32). Rows whose prompt is exhausted carry sentinel tables."""
+    def _extend_window(self, arrays, batch, j: int, draft_only: bool = False):
+        """Dispatch chunk ``j`` of a chunked prefill: run both models
+        (or, for piggyback admissions, the DRAFT only) over the [KB, W]
+        prompt window at offset cached + j*W through the normal paged
+        decode path (the flash kernel's new-block ceiling is 32). Rows
+        whose prompt is exhausted carry sentinel tables."""
         rows, tables, prompts, p_lens, max_news, cached, keys = arrays
         w = self.extend_chunk
         kb = rows.shape[0]
@@ -1456,7 +1543,15 @@ class PagedEngine:
             take = min(w, int(p_lens[r]) - s0)
             window[r, :take] = prompts[r, s0 : s0 + take]
         ext_args = (jnp.asarray(tab_d), jnp.asarray(lens_d), jnp.asarray(window))
-        if self._dp_fns is not None:
+        if draft_only:
+            if self._dp_fns is not None:
+                self.state = self._dp_fns["extend_draft"](
+                    self.params_d, self.state, *ext_args)
+            else:
+                self.state = _paged_draft_extend(
+                    self.params_d, self.state, *ext_args,
+                    bundle_d=self.bundle_d)
+        elif self._dp_fns is not None:
             self.state = self._dp_fns["extend"](
                 self.params_d, self.params_t, self.state, *ext_args)
         else:
@@ -1465,10 +1560,11 @@ class PagedEngine:
                 bundle_d=self.bundle_d, bundle_t=self.bundle_t,
             )
 
-    def _finalize_admission(self, arrays):
+    def _finalize_admission(self, arrays, cur0=None):
         rows, tables, prompts, p_lens, max_news, _cached, keys = arrays
+        c0 = jnp.asarray(cur0 if cur0 is not None else p_lens, jnp.int32)
         fin_args = (jnp.asarray(rows), jnp.asarray(tables), jnp.asarray(prompts),
-                    jnp.asarray(p_lens), jnp.asarray(max_news), keys)
+                    jnp.asarray(p_lens), jnp.asarray(max_news), keys, c0)
         if self._dp_fns is not None:
             self.state = self._dp_fns["finalize"](self.state, *fin_args)
         else:
@@ -1485,52 +1581,43 @@ class PagedEngine:
 
     # -------------------------------------------- SARATHI chunked prefill
     def _stage_admission(self, batch, bucket):
-        """Reserve rows + pages for a long cold/suffix admission and queue
-        its prefill as per-tick extend windows (see chunked_prefill in
-        __init__). Rows are held out of _row_req until the finalize so
-        decode chunks and harvest never touch them mid-prefill; their
-        block tables live in _row_blocks so _flush_maintenance keeps the
-        device mirror exact."""
+        """True-SARATHI piggyback admission (round 5, v2): install the
+        rows immediately with ``cur_len = cached_len + 1`` and
+        ``prefill_to = p_len`` — the cold prompt's TARGET KV is then
+        computed inside subsequent decode chunks' verify passes, gamma
+        tokens per step, at ZERO extra weight reads (see prefill_to in
+        PagedBatchState; the +1 keeps verify's rollback-to-cur_len-1
+        writes out of prefix-SHARED pages). Only the cheap draft model
+        is prefilled up front, via draft-only extend windows. The row
+        decodes the moment its cur_len reaches prefill_to, with a PRNG
+        stream bit-identical to the monolithic-prefill engine's."""
         arrays = self._admission_arrays(batch, bucket)
-        for row, req, _p, p_len, blocks, _c, _h in batch:
-            self._row_resv[row] = req
-            self._row_blocks[row] = blocks
-            # NOTE: _row_gen bumps at FINALIZE, not here — chunks
-            # dispatched mid-staging must carry a gen that mismatches the
-            # installed row, or their stale meta (done=True from the old
-            # state) would harvest the row right after finalize
-        self._staged.append({
-            "batch": batch, "bucket": bucket, "arrays": arrays,
-            "j": 0, "n": self._extend_n_chunks(arrays, batch),
-        })
-
-    def _advance_staged(self):
-        """One extend window per staged group per scheduler tick — the
-        decode chunk dispatched in the same tick rides between windows,
-        so running rows' inter-token gap is one window + one chunk
-        instead of the whole prefill wall."""
-        for st in list(self._staged):
-            self._extend_window(st["arrays"], st["batch"], st["j"])
-            st["j"] += 1
-            if st["j"] >= st["n"]:
-                self._finalize_staged(st)
-                self._staged.remove(st)
-
-    def _finalize_staged(self, st):
-        self._finalize_admission(st["arrays"])
+        rows, tables, prompts, p_lens, max_news, cached, keys = arrays
+        for j in range(self._extend_n_chunks(arrays, batch)):
+            self._extend_window(arrays, batch, j, draft_only=True)
+        cur0 = np.minimum(cached + 1, p_lens).astype(np.int32)
+        self._finalize_admission(arrays, cur0=cur0)
         now = time.perf_counter()
-        for row, req, _p, p_len, blocks, cached_len, hashes in st["batch"]:
+        for row, req, _p, p_len, blocks, cached_len, hashes in batch:
             if req.prefill_time is None:
                 req.prefill_time = now
             req.cached_len = cached_len
             self._row_req[row] = req
-            self._row_resv[row] = None
+            self._row_blocks[row] = blocks
             self._row_gen[row] += 1
-            self._row_len[row] = p_len
+            self._row_len[row] = int(min(cached_len + 1, p_len))
             self._row_done[row] = False
             if self.prefix_cache and hashes:
                 self._allocs[row // self._rows_local].register(
                     hashes, blocks[: len(hashes)])
+
+    def _n_prefilling(self) -> int:
+        """Rows still piggyback-prefilling (host view: known length has
+        not reached the submitted prompt's length)."""
+        return sum(
+            1 for row, req in enumerate(self._row_req)
+            if req is not None and self._row_len[row] < len(req.prompt)
+        )
 
     def _harvest(self, done: np.ndarray, cur_len: np.ndarray, gens: tuple):
         # host mirrors for on-demand growth/preemption: the freshest
@@ -1881,19 +1968,16 @@ class PagedEngine:
 
     def step(self) -> int:
         self._admit()
-        had_staged = bool(self._staged)
-        if had_staged:
-            self._advance_staged()
         self._ensure_runway()
         self._flush_maintenance()
-        if any(r is not None for r in self._row_req):
-            m = self._meta_np(self._dispatch_chunk())
-            if had_staged:
+        if self.num_active:
+            if self._n_prefilling():
                 self.interleaved_chunks += 1
+            m = self._meta_np(self._dispatch_chunk())
             b = self.batch_rows
             self._harvest(m[b:].astype(bool), m[:b], tuple(self._row_gen))
             self._epoch_tick()
-        elif not self._staged:
+        else:
             self._epoch_reset()
         return self.num_active
 
@@ -1904,17 +1988,13 @@ class PagedEngine:
         inflight = None
         while steps < max_steps:
             self._admit()
-            had_staged = bool(self._staged)
-            if had_staged:
-                self._advance_staged()
-                steps += 1
             self._ensure_runway()
             self._flush_maintenance()
             new_inflight = None
-            if any(r is not None for r in self._row_req):
-                meta = self._dispatch_chunk()
-                if had_staged:
+            if self.num_active:
+                if self._n_prefilling():
                     self.interleaved_chunks += 1
+                meta = self._dispatch_chunk()
                 steps += 1
                 try:
                     meta.copy_to_host_async()

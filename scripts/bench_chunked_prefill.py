@@ -5,9 +5,10 @@ A running decode row experiences one chunk-gap per committed burst; a
 cold 512-token 13B prefill dispatched between chunks stalls every
 running row for the whole prefill wall (visible as the OPT serving TTFT
 p50 of ~1.0 s and as a p95 inter-token spike). With
-``chunked_prefill=True`` the prefill runs as extend_chunk-token windows
-interleaved between decode chunks, so the running rows' worst gap is
-one window + one chunk.
+``chunked_prefill=True`` the cold prompt PIGGYBACKS on the decode
+chunks' own verify passes (gamma prompt tokens per step, zero extra
+target-weight reads; only the cheap draft is prefilled up front), so
+running rows never see a monolithic prompt forward at all.
 
 Methodology: closed-loop workload (a completion admits the next
 request; every 5th arrival is a long cold prompt), instrumented engine
@@ -98,7 +99,7 @@ def run_config(Instrumented, bd, pd, bt, pt, args, chunked: bool):
         p, (_pl, mn) = sched.popleft()
         rids.append(eng.submit(p, mn))
     guard = 0
-    while (eng.num_active or eng._pending or eng._staged or sched) and guard < 100_000:
+    while (eng.num_active or eng._pending or sched) and guard < 100_000:
         guard += 1
         eng.step()
         # closed loop: top the in-flight population back up as rows free
