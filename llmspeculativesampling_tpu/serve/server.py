@@ -363,7 +363,22 @@ def make_http_server(server, host: str = "0.0.0.0",
             if self.path == "/health":
                 self._send(200, {"status": "ok"})
             elif self.path == "/stats":
-                self._send(200, server.stats.snapshot())
+                snap = server.stats.snapshot()
+                # device observability: HBM occupancy per accelerator.
+                # (TPU power draw is not exposed by the runtime — the
+                # reference's gpu_power_monitor.py has no TPU analogue;
+                # utils/power.py provides the host-RAPL J/token proxy.)
+                try:
+                    d = jax.devices()[0]
+                    ms = d.memory_stats() or {}
+                    snap["device"] = str(d)
+                    if "bytes_in_use" in ms:
+                        snap["hbm_bytes_in_use"] = int(ms["bytes_in_use"])
+                    if "bytes_limit" in ms:
+                        snap["hbm_bytes_limit"] = int(ms["bytes_limit"])
+                except Exception:  # noqa: BLE001 — stats must never 500
+                    pass
+                self._send(200, snap)
             else:
                 self._send(404, {"error": "not found"})
 
