@@ -140,17 +140,25 @@ def _d_sample(key, dist):
     return dist_sample(key, jax.tree.map(lambda x: x[None], dist))[0]
 
 
-def _verify_phase_batched(bundle, params, scfg, gamma, tokens, cur_len, cache):
+def _verify_phase_batched(bundle, params, scfg, gamma, tokens, cur_len, cache,
+                          extra: int = 0):
+    """One batched verify forward over per-row windows of gamma+1+extra
+    tokens. ``extra`` > 0 (prefill_extra) widens the window so
+    piggyback-prefilling rows push gamma+extra PROMPT tokens of KV per
+    step; decode rows' trailing ``extra`` positions carry junk tokens
+    whose KV lands beyond their accepted region (rewritten before the
+    length pointer ever crosses them — the standard invariant) and whose
+    distributions are sliced off before the accept math."""
     cfg = bundle.cfg
     cache = rollback_rows(cache, cur_len - 1)
-    vin = _rows_window(tokens, cur_len - 1, gamma + 1)
+    vin = _rows_window(tokens, cur_len - 1, gamma + 1 + extra)
     logits, cache = bundle.forward(params, cfg, vin, cache)
-    return dist_norm(logits, scfg), cache  # [B, gamma+1, ...]
+    return dist_norm(logits, scfg), cache  # [B, gamma+1+extra, ...]
 
 
 def _paged_spec_step(
     bundle_d, bundle_t, params_d, params_t, scfg, gamma, eos_token_id,
-    state: PagedBatchState,
+    state: PagedBatchState, prefill_extra: int = 0,
 ):
     tokens, cur_len = state.tokens, state.cur_len
     b = tokens.shape[0]
@@ -192,8 +200,10 @@ def _paged_spec_step(
     tokens2 = jnp.where(prefilling[:, None], tokens, tokens2)
     p_stack, target_cache = _verify_phase_batched(
         bundle_t, params_t, scfg, gamma, tokens2, cur_len,
-        _gate(state.target_cache, live)
+        _gate(state.target_cache, live), extra=prefill_extra
     )
+    if prefill_extra:
+        p_stack = jax.tree.map(lambda x: x[:, : gamma + 1], p_stack)
     # the gates above are PER-STEP views — the sentinels must not
     # persist into the carried state (a prefilling row's draft table
     # would otherwise stay sentineled after its prefill completes and
@@ -222,7 +232,9 @@ def _paged_spec_step(
     # stream after prefill completes must match the monolithic engine's
     # bit-for-bit), and no sampling statistics accrue.
     new_len = jnp.where(
-        prefilling, jnp.minimum(cur_len + gamma, state.prefill_to), new_len)
+        prefilling,
+        jnp.minimum(cur_len + gamma + prefill_extra, state.prefill_to),
+        new_len)
     tokens3 = jnp.where(prefilling[:, None], tokens, tokens3)
     keys2 = jax.random.wrap_key_data(jnp.where(
         prefilling[:, None],
@@ -270,7 +282,7 @@ def _paged_spec_step(
 def _paged_chunk_body(
     params_d, params_t, state: PagedBatchState, *,
     bundle_d, bundle_t, gamma: int, scfg: SamplingConfig, eos_token_id: int,
-    n_steps: int,
+    n_steps: int, prefill_extra: int = 0,
 ):
     """Up to n_steps decode steps with device-side early exit: once every
     active row is done, remaining steps are skipped ON DEVICE (a
@@ -288,7 +300,8 @@ def _paged_chunk_body(
     def one(carry):
         i, s = carry
         return i + 1, _paged_spec_step(
-            bundle_d, bundle_t, params_d, params_t, scfg, gamma, eos_token_id, s
+            bundle_d, bundle_t, params_d, params_t, scfg, gamma, eos_token_id,
+            s, prefill_extra,
         )
 
     a0 = jnp.sum(state.accepted)
@@ -367,17 +380,19 @@ def _unpack_chunk_meta(pack: np.ndarray, b: int, h: int, t: int) -> dict:
 
 @partial(
     jax.jit,
-    static_argnames=("bundle_d", "bundle_t", "gamma", "scfg", "eos_token_id", "n_steps"),
+    static_argnames=("bundle_d", "bundle_t", "gamma", "scfg", "eos_token_id",
+                     "n_steps", "prefill_extra"),
     donate_argnames=("state",),
 )
 def _paged_chunk(
     params_d, params_t, state: PagedBatchState, *,
     bundle_d, bundle_t, gamma: int, scfg: SamplingConfig, eos_token_id: int,
-    n_steps: int,
+    n_steps: int, prefill_extra: int = 0,
 ):
     return _paged_chunk_body(
         params_d, params_t, state, bundle_d=bundle_d, bundle_t=bundle_t,
         gamma=gamma, scfg=scfg, eos_token_id=eos_token_id, n_steps=n_steps,
+        prefill_extra=prefill_extra,
     )
 
 
@@ -637,7 +652,7 @@ def _state_dp_specs(state: PagedBatchState):
 
 
 def _build_dp_fns(mesh, state, bundle_d, bundle_t, gamma, scfg, eos_token_id,
-                  n_steps):
+                  n_steps, prefill_extra=0):
     """jit(shard_map(...)) wrappers of the four device entry points,
     manual over dp (each shard = an independent B/dp-row engine over its
     own N/dp-block pool half, zero cross-dp collectives in steady state),
@@ -654,7 +669,8 @@ def _build_dp_fns(mesh, state, bundle_d, bundle_t, gamma, scfg, eos_token_id,
         def chunk(params_d, params_t, st):
             return _paged_chunk_body(
                 params_d, params_t, st, bundle_d=bundle_d, bundle_t=bundle_t,
-                gamma=g, scfg=scfg, eos_token_id=eos_token_id, n_steps=n_steps)
+                gamma=g, scfg=scfg, eos_token_id=eos_token_id, n_steps=n_steps,
+                prefill_extra=prefill_extra)
         return chunk
 
     def prefill(params_d, params_t, st, rows, tables, prompts, p_lens,
@@ -749,6 +765,7 @@ class PagedEngine:
         on_demand: bool = True,
         overcommit: float = 1.0,
         chunked_prefill: bool = False,
+        prefill_extra: int = 0,
     ):
         self.bundle_d, self.params_d = bundle_d, params_d
         self.bundle_t, self.params_t = bundle_t, params_t
@@ -981,7 +998,7 @@ class PagedEngine:
             if self.dp > 1:
                 self._dp_fns = _build_dp_fns(
                     mesh, self.state, bundle_d, bundle_t, gamma, self.scfg,
-                    eos_token_id, self.steps_per_sync)
+                    eos_token_id, self.steps_per_sync, self.prefill_extra)
                 self._dp_gamma = gamma
                 self._dp_chunk_cache = {gamma: self._dp_fns["chunk"]}
 
@@ -1034,6 +1051,12 @@ class PagedEngine:
         # prefill). Measured in scripts/bench_chunked_prefill.py /
         # docs/PERFORMANCE.md.
         self.chunked_prefill = bool(chunked_prefill)
+        # prefill_extra widens EVERY verify window by this many tokens so
+        # piggybacked prompts advance gamma+extra per step — prefill rate
+        # vs per-chunk verify compute (weights dominate at 13B, so small
+        # extras are near-free; the paged flash lane caps the window at
+        # 32 new tokens). Measured curve: docs/PERFORMANCE.md.
+        self.prefill_extra = int(prefill_extra)
         self.interleaved_chunks = 0   # decode chunks that carried a
         #                               piggyback-prefilling row
         gam_max = max(self._gamma_choices) if self._gamma_choices else gamma
@@ -1733,6 +1756,7 @@ class PagedEngine:
             bundle_d=self.bundle_d, bundle_t=self.bundle_t,
             gamma=self.gamma, scfg=self.scfg,
             eos_token_id=self.eos_token_id, n_steps=self.steps_per_sync,
+            prefill_extra=self.prefill_extra,
         )
         return pack
 

@@ -88,6 +88,7 @@ def run_config(Instrumented, bd, pd, bt, pt, args, chunked: bool):
         top_p=0.9, prompt_bucket=64, steps_per_sync=args.steps_per_sync,
         kv_quant=args.kv_int8, extend_chunk=args.extend_chunk,
         chunked_prefill=chunked, overcommit=args.overcommit,
+        prefill_extra=(args.prefill_extra if chunked else 0),
     )
     eng.warmup(prompt_lens=sorted({pl for pl, _ in schedule}))
     eng.reset_instr()
@@ -145,6 +146,9 @@ def main():
     ap.add_argument("--extend_chunk", type=int, default=64)
     ap.add_argument("--kv_int8", action="store_true")
     ap.add_argument("--overcommit", type=float, default=1.0)
+    ap.add_argument("--prefill_extra", type=int, default=0,
+                    help="extra verify-window tokens: piggyback advances "
+                         "gamma+extra prompt tokens per step")
     args = ap.parse_args()
 
     print("device:", jax.devices()[0].device_kind, flush=True)

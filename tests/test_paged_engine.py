@@ -496,24 +496,36 @@ def test_chunked_prefill_interleaves_and_matches():
               max_new_cap=64, gamma=3, steps_per_sync=1, extend_chunk=16,
               seed=5)
 
-    def run(flag):
-        eng = _engine(chunked_prefill=flag, **kw)
+    def run(flag, extra=0):
+        eng = _engine(chunked_prefill=flag, prefill_extra=extra, **kw)
         r_short = eng.submit(list(range(5, 25)), max_new_tokens=48)
         eng.step()  # short request admitted and decoding
         r_long = eng.submit(list(range(30, 30 + 120)), max_new_tokens=16)
         eng.run_until_idle()
         return eng, eng.result(r_short), eng.result(r_long)
 
+    def run_extra(extra):
+        return run(True, extra)
+
     e1, s1, l1 = run(True)
     e0, s0, l0 = run(False)
     assert all(c is not None for c in (s1, l1, s0, l0))
-    # 120-token cold prompt / 16-token windows: several decode chunks ran
-    # while the staged prefill was in progress
+    # 120-token cold prompt piggybacking gamma tokens/step: many decode
+    # chunks carried the prefilling row
     assert e1.interleaved_chunks >= 3
     assert e0.interleaved_chunks == 0
     assert s1.output_ids.tolist() == s0.output_ids.tolist()
     assert l1.output_ids.tolist() == l0.output_ids.tolist()
     assert e1.allocator.free_blocks == 24
+
+    # prefill_extra widens the verify window (faster piggyback prefill);
+    # outputs must stay identical — decode rows' trailing window slots
+    # carry junk whose KV is rewritten before the length pointer crosses
+    # it and whose distributions are sliced off pre-accept
+    e2, s2, l2 = run_extra(8)
+    assert s2.output_ids.tolist() == s0.output_ids.tolist()
+    assert l2.output_ids.tolist() == l0.output_ids.tolist()
+    assert e2.interleaved_chunks < e1.interleaved_chunks  # fewer chunks needed
 
 
 def test_adaptive_gamma_completes_and_adapts():
