@@ -876,6 +876,11 @@ class PagedEngine:
         self.scfg = SamplingConfig(temperature, top_k, top_p)
         self.prompt_bucket = prompt_bucket
         self.steps_per_sync = max(1, int(steps_per_sync))
+        # prefill_extra widens EVERY verify window by this many tokens so
+        # piggybacked prompts advance gamma+extra per step. Built and
+        # measured NEGATIVE on v5e at 13B (wider window ~doubles step
+        # cost, -30% aggregate — docs/PERFORMANCE.md), so default 0.
+        self.prefill_extra = int(prefill_extra)
         # cap padded-kb x bucket per admission dispatch: the prefill's
         # deferred all-layers k/v stack (models/llama.py paged_prefill)
         # costs ~L*H_kv*D*4 bytes per admitted token — budget it so the
@@ -1051,12 +1056,6 @@ class PagedEngine:
         # prefill). Measured in scripts/bench_chunked_prefill.py /
         # docs/PERFORMANCE.md.
         self.chunked_prefill = bool(chunked_prefill)
-        # prefill_extra widens EVERY verify window by this many tokens so
-        # piggybacked prompts advance gamma+extra per step — prefill rate
-        # vs per-chunk verify compute (weights dominate at 13B, so small
-        # extras are near-free; the paged flash lane caps the window at
-        # 32 new tokens). Measured curve: docs/PERFORMANCE.md.
-        self.prefill_extra = int(prefill_extra)
         self.interleaved_chunks = 0   # decode chunks that carried a
         #                               piggyback-prefilling row
         gam_max = max(self._gamma_choices) if self._gamma_choices else gamma
