@@ -1101,8 +1101,13 @@ class PagedEngine:
                     rids.append(self.submit(same, 2))
                     self.run_until_idle()
         if self.chunked_prefill:
-            # compile the staged extend-window + finalize programs so a
-            # live long cold prompt never pays remote compilation
+            # compile the piggyback admission programs (draft-only extend
+            # windows + finalize-at-cur0) so a live long cold prompt
+            # never pays remote compilation. Staging only engages while
+            # some row is DECODING, so park a short request in decode
+            # first, then submit the long prompt.
+            rids.append(self.submit(rng.integers(2, 100, size=8), 8))
+            self.step()
             long_p = rng.integers(2, 100, size=2 * self.extend_chunk + 2)
             rids.append(self.submit(long_p, 2))
             self.run_until_idle()
