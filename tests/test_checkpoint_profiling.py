@@ -48,6 +48,24 @@ def test_save_load_quantized(tmp_path):
     )
 
 
+def test_save_load_fp8(tmp_path):
+    """fp8 e4m3 weight checkpoints persist bit-exactly (r5: the second
+    weight format, quant/core.py fmt='fp8_e4m3')."""
+    cfg = _small_cfg()
+    params = quantize_params(
+        llama.init_params(cfg, jax.random.key(0)), "llama",
+        quantize_lm_head=True, fmt="fp8_e4m3",
+    )
+    d = str(tmp_path / "ckpt_f8")
+    save_params(d, "llama", cfg, params)
+    _, _, p2 = load_params(d)
+    assert p2["layers"]["wq"]["q"].dtype == jnp.float8_e4m3fn
+    np.testing.assert_array_equal(
+        np.asarray(params["layers"]["wq"]["q"]).view(np.uint8),
+        np.asarray(p2["layers"]["wq"]["q"]).view(np.uint8),
+    )
+
+
 def test_load_pretrained_cache(tmp_path, monkeypatch):
     """load_pretrained(cache_dir=...) converts once, restores after."""
     from llmspeculativesampling_tpu.core import loader
