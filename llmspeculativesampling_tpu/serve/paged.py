@@ -1068,6 +1068,10 @@ class PagedEngine:
         self._last_harvest = None
         self._last_harvest_gens: Optional[tuple] = None
         self.preemptions = 0
+        # staged rows' deferred prefix-page publication:
+        # row -> (row_gen, hashes, blocks_prefix); registered by _harvest
+        # once the piggyback prefill completes (see _stage_admission)
+        self._pending_reg: dict = {}
 
     # --------------------------------------------------------------- interface
     def warmup(self, prompt_lens=(8,)) -> None:
@@ -1104,9 +1108,23 @@ class PagedEngine:
             # compile the piggyback admission programs (draft-only extend
             # windows + finalize-at-cur0) so a live long cold prompt
             # never pays remote compilation. Staging only engages while
-            # some row is DECODING, so park a short request in decode
-            # first, then submit the long prompt.
-            rids.append(self.submit(rng.integers(2, 100, size=8), 8))
+            # some row is DECODING, so park a request in decode first,
+            # then submit the long prompt. The parked request's budget
+            # must exceed one chunk's worst-case commit
+            # (steps_per_sync x (gamma+1)) or it can FINISH inside the
+            # single step below — step()'s synchronous harvest then
+            # frees the row, the decode-gate sees nothing to protect,
+            # and the long prompt goes monolithic, leaving the staged
+            # programs uncompiled (whether that happened depended on
+            # the warmup acceptance draws — nondeterministic coverage).
+            # capped so the parked request stays admittable on small
+            # pools (submit rejects p_len+max_new+gam+1 > t_max; tiny
+            # configs that can't park past one chunk keep the old race,
+            # but can't serve real piggyback traffic anyway)
+            park_new = max(
+                min(self.steps_per_sync * (self._gam_max + 1) + 8,
+                    self.t_max - 8 - self._gam_max - 1), 2)
+            rids.append(self.submit(rng.integers(2, 100, size=8), park_new))
             self.step()
             long_p = rng.integers(2, 100, size=2 * self.extend_chunk + 2)
             rids.append(self.submit(long_p, 2))
@@ -1445,6 +1463,9 @@ class PagedEngine:
                 carry=carry, orig_prompt_len=orig_plen,
             )
         self._allocs[shard].free(self._row_blocks[row])
+        # never publish a preempted row's prefix pages: its piggyback
+        # prefill did not complete, so the pages' target KV is garbage
+        self._pending_reg.pop(row, None)
         self._commit_pages[shard] -= self._row_commit[row]
         self._row_commit[row] = 0
         self._row_req[row] = None
@@ -1624,10 +1645,15 @@ class PagedEngine:
             self._extend_window(arrays, batch, j, draft_only=True)
         cur0 = np.minimum(cached + 1, p_lens).astype(np.int32)
         self._finalize_admission(arrays, cur0=cur0)
-        now = time.perf_counter()
         for row, req, _p, p_len, blocks, cached_len, hashes in batch:
-            if req.prefill_time is None:
-                req.prefill_time = now
+            # prefill_time is NOT stamped here: the prompt's target KV
+            # only arrives gamma tokens per chunk over the next many
+            # chunks — _harvest stamps it when the host observes the
+            # prefill complete (cur_len >= p_len), so a piggybacked
+            # request's ttft_s includes its stretched-out prefill
+            # instead of reading ~0 at staging (which overstated the
+            # chunked-prefill TTFT win vs the monolithic path, whose
+            # stamp at least follows the enqueued prompt computation).
             req.cached_len = cached_len
             self._row_req[row] = req
             self._row_blocks[row] = blocks
@@ -1635,8 +1661,18 @@ class PagedEngine:
             self._row_len[row] = int(min(cached_len + 1, p_len))
             self._row_done[row] = False
             if self.prefix_cache and hashes:
-                self._allocs[row // self._rows_local].register(
-                    hashes, blocks[: len(hashes)])
+                # DEFER publication until the piggyback prefill
+                # completes: registering now would let a same-prefix
+                # admission alloc_shared() pages whose target KV has not
+                # been computed yet (garbage reads), and a preemption
+                # would park never-written pages in the evictable LRU
+                # for any later identical prompt to hit with no writer
+                # left. The inline path can register at dispatch because
+                # the device stream orders its prefill writes before any
+                # later chunk's reads; here the writes live in FUTURE
+                # chunks. _harvest registers once cur_len >= p_len.
+                self._pending_reg[row] = (
+                    self._row_gen[row], hashes, list(blocks[: len(hashes)]))
 
     def _n_prefilling(self) -> int:
         """Rows still piggyback-prefilling (host view: known length has
@@ -1654,6 +1690,23 @@ class PagedEngine:
             if r is not None and gens[i] == self._row_gen[i]:
                 self._row_len[i] = int(cur_len[i])
                 self._row_done[i] = bool(done[i])
+                if r.prefill_time is None and self._row_len[i] >= len(r.prompt):
+                    # piggybacked row's prefill just completed (host
+                    # view); see the TTFT note in _stage_admission
+                    r.prefill_time = time.perf_counter()
+        if self._pending_reg:
+            # staged rows' deferred prefix-page publication (see
+            # _stage_admission): register once the prompt's target KV is
+            # fully computed; drop entries invalidated by preemption/
+            # completion-and-reuse (gen mismatch)
+            for row in list(self._pending_reg):
+                gen, hashes, blks = self._pending_reg[row]
+                r = self._row_req[row]
+                if r is None or gen != self._row_gen[row]:
+                    del self._pending_reg[row]
+                elif self._row_len[row] >= len(r.prompt):
+                    self._allocs[row // self._rows_local].register(hashes, blks)
+                    del self._pending_reg[row]
         fin = [i for i, r in enumerate(self._row_req)
                if r is not None and done[i] and gens[i] == self._row_gen[i]]
         if not fin:
@@ -1712,7 +1765,13 @@ class PagedEngine:
             # keeps _epoch_tick from closing an epoch mid-drain.
             if (self._gamma_choices and self._ag_mode == "epoch"
                     and not self._resync):
-                self._ep_tokens += details["tokens_generated"]
+                # charge only THIS residency's tokens: a preemption-
+                # resumed request's pre-preemption tokens (carried in
+                # tokens_generated via orig_plen) were produced under an
+                # earlier epoch, possibly a different arm — crediting
+                # them here would inflate the completing arm's measured
+                # rate, the cross-epoch poisoning _resync exists to stop
+                self._ep_tokens += max(len(out) - p_len, 0)
                 self._ep_completions += 1
             self._allocs[row // self._rows_local].free(self._row_blocks[row])
             self._row_req[row] = None

@@ -457,9 +457,32 @@ def make_http_server(server, host: str = "0.0.0.0",
                                     frozen_n = cut
                             full = frozen_text + tok.decode(
                                 all_ids[frozen_n:], skip_special_tokens=True)
-                            ev["text"] = full[len(prev_text):]
-                            prev_text = full
+                            # hold back an incomplete multi-byte tail: a
+                            # byte-level tokenizer decodes a half-done
+                            # UTF-8 character as U+FFFD, then REWRITES it
+                            # once the next chunk completes the bytes —
+                            # `full` would no longer extend prev_text and
+                            # the suffix would emit garbage / drop the
+                            # corrected character. Trailing U+FFFD is
+                            # therefore withheld until resolved (the done
+                            # event flushes any genuine trailing U+FFFD).
+                            safe = full.rstrip("�")
+                            if safe.startswith(prev_text):
+                                ev["text"] = safe[len(prev_text):]
+                                prev_text = safe
+                            else:
+                                # tail rewrite slipped through anyway
+                                # (tokenizer context effect): emit nothing
+                                # rather than a garbled suffix — clients
+                                # have token_ids as ground truth
+                                ev["text"] = ""
                         emit(ev)
+                    if tok is not None and all_ids:
+                        # flush text withheld by the U+FFFD hold-back
+                        full = frozen_text + tok.decode(
+                            all_ids[frozen_n:], skip_special_tokens=True)
+                        if full.startswith(prev_text) and len(full) > len(prev_text):
+                            emit({"token_ids": [], "text": full[len(prev_text):]})
                 else:
                     text, ids = server.process_request(req)
                     ev = {"token_ids": np.asarray(ids).tolist()}

@@ -760,3 +760,104 @@ def test_dp_admission_skips_full_shard():
     assert c is not None and len(c.output_ids) > c.prompt_len
     eng._allocs[0].free(stolen)
     assert eng._allocs[0].free_blocks == eng._allocs[0].num_blocks
+
+
+def test_staged_prefix_pages_register_only_after_prefill():
+    """A piggybacked (staged) admission's prompt pages must NOT enter the
+    prefix-cache registry until the whole prompt's target KV has been
+    computed — the piggyback writes it gamma tokens per chunk over many
+    chunks, so registering at staging would let a same-prefix admission
+    alloc_shared() pages holding garbage, and a preemption would park
+    never-written pages in the evictable LRU. Also pins the staged-path
+    TTFT semantics: prefill_time stays unset until the host observes the
+    prefill complete (staging-time stamping read ~0 ms and overstated the
+    chunked-prefill TTFT win)."""
+    from llmspeculativesampling_tpu.cache.paged import prompt_page_hashes
+
+    kw = dict(batch_rows=2, num_blocks=24, page=32, max_pages_per_req=8,
+              max_new_cap=64, gamma=3, steps_per_sync=1, extend_chunk=16,
+              seed=5, chunked_prefill=True, prefix_cache=True)
+    eng = _engine(**kw)
+    r_short = eng.submit(list(range(5, 25)), max_new_tokens=48)
+    eng.step()  # short request admitted and decoding
+    long_prompt = list(range(30, 30 + 120))
+    hashes = prompt_page_hashes(np.asarray(long_prompt, np.int32), eng.page)
+    assert len(hashes) >= 3
+    r_long = eng.submit(long_prompt, max_new_tokens=16)
+    saw_prefilling = False
+    for _ in range(300):
+        eng.step()
+        if eng._n_prefilling() > 0:
+            saw_prefilling = True
+            reg = eng.allocator._by_hash
+            assert not any(h in reg for h in hashes), (
+                "staged prompt pages published before their KV existed")
+            # TTFT not stamped while the prompt is still being computed
+            row = next(i for i, r in enumerate(eng._row_req)
+                       if r is not None and r.rid == r_long)
+            assert eng._row_req[row].prefill_time is None
+        if eng._n_prefilling() == 0 and not eng._pending and saw_prefilling:
+            break
+    assert saw_prefilling
+    eng.run_until_idle()
+    s, l = eng.result(r_short), eng.result(r_long)
+    assert s is not None and l is not None
+    assert l.details["ttft_s"] > 0
+    # prefill complete -> pages are now published
+    reg = eng.allocator._by_hash
+    assert all(h in reg for h in hashes)
+    # a same-prefix request must hit the published chain AND match the
+    # output a cold engine produces (valid KV in the shared pages)
+    r2 = eng.submit(long_prompt, max_new_tokens=16)
+    eng.run_until_idle()
+    c2 = eng.result(r2)
+    assert c2.details["prefix_cached_tokens"] > 0
+    cold = _engine(**kw)
+    rs = cold.submit(list(range(5, 25)), max_new_tokens=48)
+    cold.step()
+    rl = cold.submit(long_prompt, max_new_tokens=16)
+    cold.run_until_idle()
+    cold.result(rs)
+    assert c2.output_ids.tolist() == cold.result(rl).output_ids.tolist()
+
+
+def test_staged_preemption_never_publishes_pages():
+    """drain_requests (the failover path) preempts mid-prefill staged
+    rows; their pending page publication must be dropped, not parked in
+    the registry/evictable LRU with uncomputed KV."""
+    from llmspeculativesampling_tpu.cache.paged import prompt_page_hashes
+
+    kw = dict(batch_rows=2, num_blocks=24, page=32, max_pages_per_req=8,
+              max_new_cap=64, gamma=3, steps_per_sync=1, extend_chunk=16,
+              seed=5, chunked_prefill=True, prefix_cache=True)
+    eng = _engine(**kw)
+    eng.submit(list(range(5, 25)), max_new_tokens=48)
+    eng.step()
+    long_prompt = list(range(30, 30 + 120))
+    hashes = prompt_page_hashes(np.asarray(long_prompt, np.int32), eng.page)
+    eng.submit(long_prompt, max_new_tokens=16)
+    for _ in range(3):
+        eng.step()
+    assert eng._n_prefilling() > 0  # mid-prefill
+    eng.drain_requests()
+    assert not eng._pending_reg
+    assert not any(h in eng.allocator._by_hash for h in hashes)
+    assert eng.allocator.free_blocks == eng.allocator.num_blocks
+
+
+def test_warmup_compiles_piggyback_path():
+    """The warmup parked request must survive the staging window (its
+    budget exceeds one chunk's worst-case commit) so the long warmup
+    prompt deterministically takes the PIGGYBACK path — with max_new=8 it
+    could finish inside the single step and the decode-gate then sent the
+    long prompt monolithic, leaving the staged programs uncompiled
+    (nondeterministic warmup coverage)."""
+    eng = _engine(batch_rows=2, num_blocks=24, page=32, max_pages_per_req=8,
+                  max_new_cap=64, gamma=3, steps_per_sync=1, extend_chunk=16,
+                  chunked_prefill=True)
+    eng.warmup()
+    assert eng.interleaved_chunks > 0, (
+        "warmup never exercised the piggyback admission path")
+    assert eng.num_active == 0 and not eng._pending
+    # warmup must leave no published pages or stray completions behind
+    assert not eng.completions

@@ -377,3 +377,58 @@ def test_streaming_fallback_on_plain_server():
         assert len(events) == 2 and len(events[0]["token_ids"]) >= 16 + 8
     finally:
         httpd.shutdown()
+
+
+class _HalfCharTok:
+    """Emulates byte-level BPE at a split multi-byte character: an ODD
+    trailing id decodes as U+FFFD (incomplete UTF-8 bytes, like GPT-2 /
+    Llama byte-level tokenizers); once a further id follows, the pair
+    decodes as one complete character — i.e. a cumulative decode can
+    REWRITE its tail, not just extend it."""
+
+    def decode(self, ids, skip_special_tokens=True):
+        out, i, ids = [], 0, [int(x) for x in ids]
+        while i < len(ids):
+            if ids[i] % 2 == 1:
+                if i + 1 < len(ids):
+                    out.append(chr(0x100 + (ids[i] + ids[i + 1]) % 0x100))
+                    i += 2
+                else:
+                    out.append("�")
+                    i += 1
+            else:
+                out.append(chr(0x30 + ids[i] % 10))
+                i += 1
+        return "".join(out)
+
+
+def test_sse_holds_back_incomplete_multibyte_tail():
+    """A chunk boundary that lands mid-character makes the cumulative
+    decode end in U+FFFD, which the NEXT chunk rewrites into the real
+    character — naive suffix emission (full[len(prev):]) then drops the
+    correction and streams garbage. The handler must withhold the
+    unresolved tail and flush it at the end, so the concatenated streamed
+    text equals the full decode exactly."""
+    base = _tiny_server()
+    base.config.eos_token_id = -1
+    base.tokenizer = _HalfCharTok()
+    srv = BatchedInferenceServer(base, num_slots=2, max_total_len=256)
+    httpd = make_http_server(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        body = json.dumps({"prompt_ids": list(range(10, 26)),
+                           "max_tokens": 24, "stream": True})
+        conn.request("POST", "/predict", body,
+                     {"Content-Type": "application/json"})
+        events = [json.loads(l[6:])
+                  for l in conn.getresponse().read().decode().splitlines()
+                  if l.startswith("data: ")]
+        assert events[-1] == {"done": True}
+        toks = [t for e in events[:-1] for t in e["token_ids"]]
+        text = "".join(e.get("text", "") for e in events[:-1])
+        assert text == _HalfCharTok().decode(toks), (text, toks)
+    finally:
+        httpd.shutdown()
+        srv.shutdown()
